@@ -1,0 +1,457 @@
+"""Semi-Lagrangian / MacCormack advection of scalar fields and MAC velocity.
+
+Vectorized ports of Main_advectScalar (third_party/tfluids.cc:415-588) and
+Main_advectVel (:776-920), covering all six reference methods
+(generic/advect_type.h:21-28):
+
+  "euler" / "maccormack"          — Manta-parity semantics.
+  "eulerOurs" / "maccormackOurs"  — line-traced backtrace + fluid-aware
+                                    interpolation + windowed clamp.
+  "rk2Ours" / "rk3Ours"           — scalar only (velocity falls back to
+                                    maccormackOurs like the reference,
+                                    tfluids.cc:799-802).
+
+TPU-native design notes vs. the CUDA original:
+  - One fused XLA computation: per-cell loops become whole-grid gathers;
+    the MacCormackOurs 3x3x3 clamp-bound search becomes a separable
+    masked min/max filter + ONE gather (instead of 27 scattered reads per
+    cell, tfluids.cc:331-374).
+  - Everything is differentiable; gradients flow through the interpolation
+    weights (positions are treated as non-differentiable, like the
+    reference's hand-written design).
+"""
+
+import jax.numpy as jnp
+
+from fluidnet_tpu.core.celltype import is_fluid, is_obstacle
+from fluidnet_tpu.core.grids import border_mask, check_shapes
+from fluidnet_tpu.ops import stencil as st
+from fluidnet_tpu.ops.forces import get_centered
+from fluidnet_tpu.ops.interp import (
+    build_index,
+    cell_center_positions,
+    gather3d,
+    get_at_mac_x,
+    get_at_mac_y,
+    get_at_mac_z,
+    interpol,
+    interpol_component,
+    interpol_with_fluid,
+)
+from fluidnet_tpu.ops.line_trace import line_trace
+
+METHODS = ("euler", "maccormack", "eulerOurs", "rk2Ours", "rk3Ours",
+           "maccormackOurs")
+
+
+def _trunc(x):
+    """C-style float->int cast (truncation toward zero), as used by toInt3."""
+    return jnp.trunc(x).astype(jnp.int32)
+
+
+# -----------------------------------------------------------------------------
+# Scalar advection.
+# -----------------------------------------------------------------------------
+
+def _semi_lagrange_scalar(s, u, flags, dt, is_3d):
+    """Manta SemiLagrange (tfluids.cc:211-220): plain backtrace + interp."""
+    px, py, pz = cell_center_positions(s.shape, s.dtype)
+    cent = get_centered(u, is_3d)
+    bx = px - cent[:, 0] * dt
+    by = py - cent[:, 1] * dt
+    bz = pz - cent[:, 2] * dt
+    return interpol(s, bx, by, bz, is_3d)
+
+
+def _trace_backtrace(u, flags, disp_x, disp_y, disp_z, shape, dtype, is_3d,
+                     max_steps):
+    """Line-traced backtrace from all cell centers along given displacement."""
+    px, py, pz = cell_center_positions(shape, dtype)
+    b = u.shape[0]
+    px = jnp.broadcast_to(px, (b,) + px.shape[1:])
+    py = jnp.broadcast_to(py, (b,) + py.shape[1:])
+    pz = jnp.broadcast_to(pz, (b,) + pz.shape[1:])
+    return line_trace(px, py, pz, disp_x, disp_y, disp_z, flags,
+                      max_steps=max_steps)
+
+
+def _sample_scalar(s, flags, bx, by, bz, sample_outside_fluid, is_3d):
+    if sample_outside_fluid:
+        return interpol(s, bx, by, bz, is_3d)
+    return interpol_with_fluid(s, flags, bx, by, bz, is_3d)
+
+
+def _euler_ours_scalar(s, u, flags, dt, is_3d, sample_outside_fluid,
+                       max_steps, save_pos=False):
+    """SemiLagrangeEulerOurs[SavePos] (tfluids.cc:152-209)."""
+    cent = get_centered(u, is_3d)
+    _, bx, by, bz = _trace_backtrace(
+        u, flags, -dt * cent[:, 0], -dt * cent[:, 1], -dt * cent[:, 2],
+        s.shape, s.dtype, is_3d, max_steps)
+    val = _sample_scalar(s, flags, bx, by, bz, sample_outside_fluid, is_3d)
+    fl = is_fluid(flags)
+    out = jnp.where(fl, val, s)  # Don't advect non-fluid cells.
+    if save_pos:
+        # Non-fluid cells record their own center (tfluids.cc:157-160).
+        px, py, pz = cell_center_positions(s.shape, s.dtype)
+        bx = jnp.where(fl[:, 0], bx, px)
+        by = jnp.where(fl[:, 0], by, py)
+        bz = jnp.where(fl[:, 0], bz, pz)
+        return out, (bx, by, bz)
+    return out
+
+
+def _rk2_ours_scalar(s, u, flags, dt, is_3d, sample_outside_fluid, max_steps):
+    """SemiLagrangeRK2Ours (tfluids.cc:23-76)."""
+    cent = get_centered(u, is_3d)
+    hit1, hx, hy, hz = _trace_backtrace(
+        u, flags, -dt * 0.5 * cent[:, 0], -dt * 0.5 * cent[:, 1],
+        -dt * 0.5 * cent[:, 2], s.shape, s.dtype, is_3d, max_steps)
+    # Velocity at the half position.
+    vx = interpol_component(u, 0, hx, hy, hz, is_3d)
+    vy = interpol_component(u, 1, hx, hy, hz, is_3d)
+    vz = interpol_component(u, 2, hx, hy, hz, is_3d) if is_3d \
+        else jnp.zeros_like(vx)
+    _, fx, fy, fz = _trace_backtrace(
+        u, flags, -dt * vx, -dt * vy, -dt * vz, s.shape, s.dtype, is_3d,
+        max_steps)
+    # If the half-step trace hit a boundary, clamp to an Euler-style step at
+    # the half position (tfluids.cc:44-53).
+    bx = jnp.where(hit1, hx, fx)
+    by = jnp.where(hit1, hy, fy)
+    bz = jnp.where(hit1, hz, fz)
+    val = _sample_scalar(s, flags, bx, by, bz, sample_outside_fluid, is_3d)
+    return jnp.where(is_fluid(flags), val, s)
+
+
+def _rk3_ours_scalar(s, u, flags, dt, is_3d, sample_outside_fluid, max_steps):
+    """SemiLagrangeRK3Ours (tfluids.cc:78-147): Bridson p.242 RK3."""
+    cent = get_centered(u, is_3d)
+    k1x, k1y, k1z = cent[:, 0], cent[:, 1], cent[:, 2]
+    hit1, p2x, p2y, p2z = _trace_backtrace(
+        u, flags, -dt * 0.5 * k1x, -dt * 0.5 * k1y, -dt * 0.5 * k1z,
+        s.shape, s.dtype, is_3d, max_steps)
+    k2x = interpol_component(u, 0, p2x, p2y, p2z, is_3d)
+    k2y = interpol_component(u, 1, p2x, p2y, p2z, is_3d)
+    k2z = interpol_component(u, 2, p2x, p2y, p2z, is_3d) if is_3d \
+        else jnp.zeros_like(k2x)
+    hit2, p3x, p3y, p3z = _trace_backtrace(
+        u, flags, -dt * 0.75 * k2x, -dt * 0.75 * k2y, -dt * 0.75 * k2z,
+        s.shape, s.dtype, is_3d, max_steps)
+    k3x = interpol_component(u, 0, p3x, p3y, p3z, is_3d)
+    k3y = interpol_component(u, 1, p3x, p3y, p3z, is_3d)
+    k3z = interpol_component(u, 2, p3x, p3y, p3z, is_3d) if is_3d \
+        else jnp.zeros_like(k3x)
+    dx = -dt * (2.0 / 9.0) * k1x - dt * (3.0 / 9.0) * k2x - dt * (4.0 / 9.0) * k3x
+    dy = -dt * (2.0 / 9.0) * k1y - dt * (3.0 / 9.0) * k2y - dt * (4.0 / 9.0) * k3y
+    dz = -dt * (2.0 / 9.0) * k1z - dt * (3.0 / 9.0) * k2z - dt * (4.0 / 9.0) * k3z
+    _, fx, fy, fz = _trace_backtrace(u, flags, dx, dy, dz, s.shape, s.dtype,
+                                     is_3d, max_steps)
+    # Truncate to the earlier positions if an intermediate trace hit.
+    bx = jnp.where(hit1, p2x, jnp.where(hit2, p3x, fx))
+    by = jnp.where(hit1, p2y, jnp.where(hit2, p3y, fy))
+    bz = jnp.where(hit1, p2z, jnp.where(hit2, p3z, fz))
+    val = _sample_scalar(s, flags, bx, by, bz, sample_outside_fluid, is_3d)
+    return jnp.where(is_fluid(flags), val, s)
+
+
+def _maccormack_clamp_manta_scalar(dst, src, fwd, u, flags, dt, is_3d):
+    """MacCormackClamp + doClampComponent (tfluids.cc:249-325)."""
+    shape = flags.shape
+    Z, Y, X = shape[2:]
+    cent = get_centered(u, is_3d)
+    vx, vy, vz = cent[:, 0] * dt, cent[:, 1] * dt, cent[:, 2] * dt
+
+    import jax
+    # Integer cell coordinates (pos = vec3(i, j, k), NOT +0.5).
+    ix = jax.lax.broadcasted_iota(src.dtype, (1, Z, Y, X), 3)
+    iy = jax.lax.broadcasted_iota(src.dtype, (1, Z, Y, X), 2)
+    iz = jax.lax.broadcasted_iota(src.dtype, (1, Z, Y, X), 1)
+
+    def corner_minmax(pxf, pyf, pzf):
+        """min/max of src over the 8 cells around trunc(p), clamped like
+        doClampComponent (tfluids.cc:263-287)."""
+        i0 = jnp.clip(_trunc(pxf), 0, X - 2)
+        j0 = jnp.clip(_trunc(pyf), 0, Y - 2)
+        if is_3d:
+            k0 = jnp.clip(_trunc(pzf), 0, Z - 2)
+        else:
+            k0 = jnp.clip(_trunc(pzf), 0, 1)
+        k1 = k0 + 1 if is_3d else k0
+        corners = [(i0, j0, k0), (i0 + 1, j0, k0), (i0, j0 + 1, k0),
+                   (i0 + 1, j0 + 1, k0)]
+        if is_3d:
+            corners += [(i0, j0, k1), (i0 + 1, j0, k1), (i0, j0 + 1, k1),
+                        (i0 + 1, j0 + 1, k1)]
+        vals = [gather3d(src, *c)[:, 0] for c in corners]
+        stacked = jnp.stack(vals)
+        return jnp.min(stacked, 0), jnp.max(stacked, 0)
+
+    mn_f, mx_f = corner_minmax(ix - vx, iy - vy, iz - vz)
+    mn_b, mx_b = corner_minmax(ix + vx, iy + vy, iz + vz)
+    mn = jnp.minimum(mn_f, mn_b)
+    mx = jnp.maximum(mx_f, mx_b)
+    clamped = jnp.clip(dst[:, 0], mn, mx)
+
+    # Revert to fwd if the (center-based) lookups leave the grid or land in
+    # an obstacle (tfluids.cc:304-322).
+    ob = is_obstacle(flags).astype(src.dtype)
+
+    def lookup_bad(px_i, py_i, pz_i):
+        oob = (px_i < 0) | (py_i < 0) | (px_i > X - 1) | (py_i > Y - 1)
+        if is_3d:
+            oob = oob | (pz_i < 0) | (pz_i > Z - 1)
+        cx = jnp.clip(px_i, 0, X - 1)
+        cy = jnp.clip(py_i, 0, Y - 1)
+        cz = jnp.clip(pz_i, 0, Z - 1)
+        obs = gather3d(ob, cx, cy, cz)[:, 0] > 0.5
+        return oob | (~oob & obs)
+
+    pf = (_trunc(ix + 0.5 - vx), _trunc(iy + 0.5 - vy), _trunc(iz + 0.5 - vz))
+    pb = (_trunc(ix + 0.5 + vx), _trunc(iy + 0.5 + vy), _trunc(iz + 0.5 + vz))
+    bad = lookup_bad(*pf) | lookup_bad(*pb)
+    clamped = jnp.where(bad, fwd[:, 0], clamped)
+
+    interior = ~border_mask(shape, is_3d, 1)[:, 0]
+    return jnp.where(interior, clamped, dst[:, 0])[:, None]
+
+
+def _window_minmax_count(src, flags, sample_outside_fluid, is_3d):
+    """Separable 3^d masked min/max/count filters for getClampBounds
+    (tfluids.cc:331-374). Returns full-grid fields to be gathered at the
+    traced positions: windowed min, max, and valid-cell count."""
+    big = jnp.asarray(jnp.finfo(src.dtype).max, src.dtype)
+    if sample_outside_fluid:
+        valid = jnp.ones_like(src, dtype=bool)
+    else:
+        valid = is_fluid(flags)
+    v = src[:, 0]
+    m = valid[:, 0]
+    mn = jnp.where(m, v, big)
+    mx = jnp.where(m, v, -big)
+    cnt = m.astype(src.dtype)
+
+    # NOTE: shift axes for (b,z,y,x) arrays: z=1, y=2, x=3.
+    def filt4(a, op, fill):
+        for ax in ([1, 2, 3] if is_3d else [2, 3]):
+            a = op(op(a, st.shift(a, -1, ax, fill)), st.shift(a, 1, ax, fill))
+        return a
+
+    mn = filt4(mn, jnp.minimum, big)
+    mx = filt4(mx, jnp.maximum, -big)
+    cnt = filt4(cnt, jnp.add, 0.0)
+    return mn, mx, cnt
+
+
+def _maccormack_clamp_ours_scalar(dst, src, fwd, flags, fwd_pos,
+                                  sample_outside_fluid, is_3d):
+    """MacCormackClampOurs (tfluids.cc:377-413): clamp the corrected value
+    to the min/max of valid cells in the 3^d window around the forward
+    traced position; revert to fwd if the window has no valid cells."""
+    Z, Y, X = flags.shape[2:]
+    bx, by, bz = fwd_pos
+    mn, mx, cnt = _window_minmax_count(src, flags, sample_outside_fluid, is_3d)
+    packed = jnp.stack([mn, mx, cnt], axis=1)
+    i0 = jnp.clip(bx.astype(jnp.int32), 0, X - 1)
+    j0 = jnp.clip(by.astype(jnp.int32), 0, Y - 1)
+    k0 = jnp.clip(bz.astype(jnp.int32), 0, Z - 1) if is_3d \
+        else jnp.zeros_like(i0)
+    g = gather3d(packed, i0, j0, k0)
+    w_mn, w_mx, w_cnt = g[:, 0], g[:, 1], g[:, 2]
+    have = w_cnt >= 1.0
+    clamped = jnp.where(have, jnp.clip(dst[:, 0], w_mn, w_mx), fwd[:, 0])
+    interior = ~border_mask(flags.shape, is_3d, 1)[:, 0]
+    return jnp.where(interior, clamped, dst[:, 0])[:, None]
+
+
+def advect_scalar(dt, s, u, flags, method="maccormackOurs",
+                  sample_outside_fluid=False, maccormack_strength=0.75,
+                  boundary_width=1, max_trace_steps=8):
+    """Advects scalar field `s` by MAC velocity `u`. Returns the new field.
+
+    API mirrors tfluids.advectScalar (torch/tfluids/init.lua:89-149); pure
+    (the reference optionally writes in place).
+    """
+    assert method in METHODS, method
+    del boundary_width  # Always 1, like every reference call site.
+    is_3d = check_shapes(u, flags, s)
+    border = border_mask(flags.shape, is_3d, 1)
+    zero = jnp.zeros_like(s)
+
+    def apply_border(x):
+        return jnp.where(border, zero, x)
+
+    if method == "euler":
+        return apply_border(_semi_lagrange_scalar(s, u, flags, dt, is_3d))
+    if method == "eulerOurs":
+        return apply_border(
+            _euler_ours_scalar(s, u, flags, dt, is_3d, sample_outside_fluid,
+                               max_trace_steps))
+    if method == "rk2Ours":
+        return apply_border(
+            _rk2_ours_scalar(s, u, flags, dt, is_3d, sample_outside_fluid,
+                             max_trace_steps))
+    if method == "rk3Ours":
+        return apply_border(
+            _rk3_ours_scalar(s, u, flags, dt, is_3d, sample_outside_fluid,
+                             max_trace_steps))
+
+    # MacCormack variants (tfluids.cc:519-584).
+    fl = is_fluid(flags)
+    if method == "maccormack":
+        fwd = apply_border(_semi_lagrange_scalar(s, u, flags, dt, is_3d))
+        bwd = apply_border(_semi_lagrange_scalar(fwd, u, flags, -dt, is_3d))
+        # MacCormackCorrect runs on ALL cells (no border skip, tfluids.cc:551).
+        dst = fwd + jnp.where(fl, maccormack_strength * 0.5 * (s - bwd), 0.0)
+        return _maccormack_clamp_manta_scalar(dst, s, fwd, u, flags, dt, is_3d)
+
+    # maccormackOurs.
+    fwd_full, fwd_pos = _euler_ours_scalar(
+        s, u, flags, dt, is_3d, sample_outside_fluid, max_trace_steps,
+        save_pos=True)
+    fwd = apply_border(fwd_full)
+    # Border cells record their own centers (tfluids.cc:482).
+    px, py, pz = cell_center_positions(s.shape, s.dtype)
+    b2 = border[:, 0]
+    fwd_pos = (jnp.where(b2, px, fwd_pos[0]),
+               jnp.where(b2, py, fwd_pos[1]),
+               jnp.where(b2, pz, fwd_pos[2]))
+    bwd_full, _ = _euler_ours_scalar(
+        fwd, u, flags, -dt, is_3d, sample_outside_fluid, max_trace_steps,
+        save_pos=True)
+    bwd = apply_border(bwd_full)
+    dst = fwd + jnp.where(fl, maccormack_strength * 0.5 * (s - bwd), 0.0)
+    return _maccormack_clamp_ours_scalar(
+        dst, s, fwd, flags, fwd_pos, sample_outside_fluid, is_3d)
+
+
+# -----------------------------------------------------------------------------
+# MAC velocity self-advection.
+# -----------------------------------------------------------------------------
+
+def _semi_lagrange_mac(src, u, flags, dt, is_3d):
+    """SemiLagrangeMAC (tfluids.cc:634-658): per-component backtrace from the
+    face-centered velocity."""
+    px, py, pz = cell_center_positions(src.shape, src.dtype)
+    comps = []
+    macs = [get_at_mac_x(u, is_3d), get_at_mac_y(u, is_3d)]
+    if is_3d:
+        macs.append(get_at_mac_z(u, is_3d))
+    for c, mac in enumerate(macs):
+        bx = px - mac[:, 0] * dt
+        by = py - mac[:, 1] * dt
+        bz = pz - mac[:, 2] * dt
+        comps.append(interpol_component(src, c, bx, by, bz, is_3d))
+    return jnp.stack(comps, axis=1)
+
+
+def _euler_ours_mac(src, u, flags, dt, is_3d, max_steps):
+    """SemiLagrangeEulerOursMAC (tfluids.cc:594-632): line-traced
+    per-component backtrace; non-fluid cells copy src."""
+    comps = []
+    macs = [get_at_mac_x(u, is_3d), get_at_mac_y(u, is_3d)]
+    if is_3d:
+        macs.append(get_at_mac_z(u, is_3d))
+    for c, mac in enumerate(macs):
+        _, bx, by, bz = _trace_backtrace(
+            u, flags, -dt * mac[:, 0], -dt * mac[:, 1], -dt * mac[:, 2],
+            src.shape, src.dtype, is_3d, max_steps)
+        comps.append(interpol_component(src, c, bx, by, bz, is_3d))
+    out = jnp.stack(comps, axis=1)
+    return jnp.where(is_fluid(flags), out, src)
+
+
+def _maccormack_correct_mac(old, fwd, bwd, flags, strength, is_3d):
+    """MacCormackCorrectMAC (tfluids.cc:660-699): per-component skip where
+    the cell or its -axis neighbor is non-fluid."""
+    fl = is_fluid(flags)[:, 0]
+    skip_all = ~fl
+    skips = [skip_all | ~st.xm(fl, True),     # i==0 -> xm fills True(fluid)?
+             skip_all | ~st.ym(fl, True)]
+    if is_3d:
+        skips.append(skip_all | ~st.zm(fl, True))
+    # NOTE on edges: the reference only tests the neighbor when i > 0
+    # (tfluids.cc:673), i.e. at i == 0 no extra skip — so the shifted
+    # neighbor-mask must fill `True` (fluid) at the low edge.
+    comps = []
+    for c, skip in enumerate(skips):
+        corr = fwd[:, c] + strength * 0.5 * (old[:, c] - bwd[:, c])
+        comps.append(jnp.where(skip, fwd[:, c], corr))
+    return jnp.stack(comps, axis=1)
+
+
+def _maccormack_clamp_mac(dst, orig, fwd, u, flags, dt, is_3d):
+    """MacCormackClampMAC (tfluids.cc:701-774): per-component doClampComponent
+    against orig around pos -/+ (face-velocity * dt)."""
+    import jax
+    Z, Y, X = flags.shape[2:]
+    ix = jax.lax.broadcasted_iota(orig.dtype, (1, Z, Y, X), 3)
+    iy = jax.lax.broadcasted_iota(orig.dtype, (1, Z, Y, X), 2)
+    iz = jax.lax.broadcasted_iota(orig.dtype, (1, Z, Y, X), 1)
+
+    macs = [get_at_mac_x(u, is_3d), get_at_mac_y(u, is_3d)]
+    if is_3d:
+        macs.append(get_at_mac_z(u, is_3d))
+
+    def corner_minmax(field_c, pxf, pyf, pzf):
+        i0 = jnp.clip(_trunc(pxf), 0, X - 2)
+        j0 = jnp.clip(_trunc(pyf), 0, Y - 2)
+        k0 = jnp.clip(_trunc(pzf), 0, Z - 2) if is_3d \
+            else jnp.clip(_trunc(pzf), 0, 1)
+        k1 = k0 + 1 if is_3d else k0
+        corners = [(i0, j0, k0), (i0 + 1, j0, k0), (i0, j0 + 1, k0),
+                   (i0 + 1, j0 + 1, k0)]
+        if is_3d:
+            corners += [(i0, j0, k1), (i0 + 1, j0, k1), (i0, j0 + 1, k1),
+                        (i0 + 1, j0 + 1, k1)]
+        vals = [gather3d(field_c, *c)[:, 0] for c in corners]
+        stacked = jnp.stack(vals)
+        return jnp.min(stacked, 0), jnp.max(stacked, 0)
+
+    comps = []
+    for c, mac in enumerate(macs):
+        vx, vy, vz = mac[:, 0] * dt, mac[:, 1] * dt, mac[:, 2] * dt
+        field_c = orig[:, c:c + 1]
+        mn_f, mx_f = corner_minmax(field_c, ix - vx, iy - vy, iz - vz)
+        mn_b, mx_b = corner_minmax(field_c, ix + vx, iy + vy, iz + vz)
+        mn = jnp.minimum(mn_f, mn_b)
+        mx = jnp.maximum(mx_f, mx_b)
+        comps.append(jnp.clip(dst[:, c], mn, mx))
+    clamped = jnp.stack(comps, axis=1)
+    interior = ~border_mask(flags.shape, is_3d, 1)
+    return jnp.where(interior, clamped, dst)
+
+
+def advect_vel(dt, u, flags, method="maccormackOurs",
+               maccormack_strength=0.75, boundary_width=1, max_trace_steps=8):
+    """Self-advects MAC velocity. API mirrors tfluids.advectVel
+    (torch/tfluids/init.lua:170-220)."""
+    assert method in METHODS, method
+    del boundary_width
+    # RK2/RK3 fall back to maccormackOurs (tfluids.cc:799-802).
+    if method in ("rk2Ours", "rk3Ours"):
+        method = "maccormackOurs"
+    is_3d = check_shapes(u, flags)
+    border = border_mask(flags.shape, is_3d, 1)
+    zero = jnp.zeros_like(u)
+
+    def apply_border(x):
+        return jnp.where(border, zero, x)
+
+    if method == "euler":
+        return apply_border(_semi_lagrange_mac(u, u, flags, dt, is_3d))
+    if method == "eulerOurs":
+        return apply_border(_euler_ours_mac(u, u, flags, dt, is_3d,
+                                            max_trace_steps))
+
+    if method == "maccormack":
+        fwd = apply_border(_semi_lagrange_mac(u, u, flags, dt, is_3d))
+        bwd = apply_border(_semi_lagrange_mac(fwd, u, flags, -dt, is_3d))
+    else:  # maccormackOurs
+        fwd = apply_border(_euler_ours_mac(u, u, flags, dt, is_3d,
+                                           max_trace_steps))
+        bwd = apply_border(_euler_ours_mac(fwd, u, flags, -dt, is_3d,
+                                           max_trace_steps))
+    dst = _maccormack_correct_mac(u, fwd, bwd, flags, maccormack_strength,
+                                  is_3d)
+    return _maccormack_clamp_mac(dst, u, fwd, u, flags, dt, is_3d)
