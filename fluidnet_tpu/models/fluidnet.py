@@ -1,0 +1,441 @@
+"""The learned pressure-projection ConvNet.
+
+Functional JAX re-design of torch.defineModelGraph (torch/lib/model.lua:27-401)
+and the conv factory (torch/lib/model_utils.lua). Instead of an nngraph of
+stateful modules, the model is (init_model, apply_model): a params pytree and
+a pure function — physics ops (setWallBcs, divergence, occupancy, velocity
+update) are ordinary differentiable functions inlined in the forward pass, so
+the whole projection is one fused XLA computation.
+
+Architecture (model.lua:27-401):
+  input {pDiv, UDiv, flags}
+  -> setWallBcs(UDiv)                                 (model.lua:83)
+  -> div = velocityDivergence(UDiv)                   (:87)
+  -> per-sample scale s = std|norm of a chosen field  (:92-131)
+  -> concat([pDiv,] [UDiv,] div, occupancy(flags))    (:134-150)
+  -> conv trunk (modelType default|tog|yang; optional multi-resolution
+     banks with pyramid split / nearest-upsample join, dilation banks,
+     weight sharing; low-rank factorized convs; upsampling convs; gated
+     convs; relu/relu6/sigmoid; avg/max pooling)      (:152-352)
+  -> 1-channel pressure head                          (:364)
+  -> U = velocityUpdate(p, UDiv, flags)               (:380)
+  -> un-scale p, U by s; setWallBcs(U)                (:384-390)
+
+Compute dtype: arrays are float32; convs use lax.Precision.DEFAULT, which
+on TPU lowers to bfloat16 MXU passes with float32 accumulation (the fast
+path) while remaining exact float32 on CPU for the golden tests.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from fluidnet_tpu.core.config import ModelConfig
+from fluidnet_tpu.core.grids import flags_to_occupancy
+from fluidnet_tpu.ops.boundary import set_wall_bcs
+from fluidnet_tpu.ops.divergence import velocity_divergence
+from fluidnet_tpu.ops.velocity_update import velocity_update
+
+
+# -----------------------------------------------------------------------------
+# Layer tables (model.lua:160-239).
+# -----------------------------------------------------------------------------
+
+def layer_spec(mconf: ModelConfig):
+    """Per-stage (osize, ksize, psize, usize) just like the reference's
+    tables; rank/gating default to full-rank ungated (the reference's
+    defaults for every built-in model type)."""
+    t = mconf.model_type
+    if not mconf.is_3d:
+        if t == "tog":
+            osize = (16, 32, 32, 64, 64, 32, 1)
+            ksize = (5, 5, 5, 5, 1, 1, 3)
+            psize = (2, 1, 1, 1, 1, 1, 1)
+            usize = (1, 1, 1, 1, 1, 1, 2)
+        elif t == "default":
+            osize = (16, 16, 16, 16, 1)
+            ksize = (3, 3, 3, 3, 1)
+            psize = (1, 1, 1, 1, 1)
+            usize = (1, 1, 1, 1, 1)
+        elif t == "yang":
+            _check_yang(mconf)
+            osize = (6, 6, 6, 1)
+            ksize = (3, 1, 1, 1)
+            psize = (1, 1, 1, 1)
+            usize = (1, 1, 1, 1)
+        else:
+            raise ValueError(f"bad 2-D modelType {t}")
+    else:
+        if t == "tog":
+            osize = (16, 16, 16, 16, 32, 32, 1)
+            ksize = (3, 3, 3, 3, 1, 1, 3)
+            psize = (2, 2, 1, 1, 1, 1, 1)
+            usize = (1, 1, 1, 1, 1, 2, 2)
+        elif t == "default":
+            osize = (8, 8, 8, 8, 1)
+            ksize = (3, 3, 3, 1, 1)
+            psize = (1, 1, 1, 1, 1)
+            usize = (1, 1, 1, 1, 1)
+        elif t == "yang":
+            _check_yang(mconf)
+            osize = (6, 6, 6, 1)
+            ksize = (3, 1, 1, 1)
+            psize = (1, 1, 1, 1)
+            usize = (1, 1, 1, 1)
+        else:
+            raise ValueError(f"bad 3-D modelType {t}")
+    return osize, ksize, psize, usize
+
+
+def _check_yang(mconf):
+    """torch.checkYangSettings (model_utils.lua:211-227)."""
+    ic = mconf.input_channels
+    if mconf.nonlin_type != "sigmoid" or not ic.p_div or not ic.div or \
+            ic.u_div or not ic.flags:
+        raise ValueError("yang model needs sigmoid nonlinearity and "
+                         "pDiv+div+flags (no UDiv) inputs")
+
+
+def num_input_channels(mconf: ModelConfig) -> int:
+    ic = mconf.input_channels
+    n = 0
+    if ic.p_div:
+        n += 1
+    if ic.u_div:
+        n += 3 if mconf.is_3d else 2
+    if not ic.flags:
+        raise ValueError("flags input is required (model.lua:39-42)")
+    n += 1  # occupancy
+    if ic.div:
+        n += 1
+    return n
+
+
+# -----------------------------------------------------------------------------
+# Conv primitives.
+# -----------------------------------------------------------------------------
+
+def _conv_dims(nd):
+    if nd == 2:
+        return ("NCHW", "OIHW", "NCHW")
+    return ("NCDHW", "OIDHW", "NCDHW")
+
+
+def _init_conv(key, in_c, out_c, ks, nd):
+    """Torch default conv init: U(-s, s), s = 1/sqrt(fan_in)."""
+    if isinstance(ks, int):
+        ks = (ks,) * nd
+    fan_in = in_c * math.prod(ks)
+    s = 1.0 / math.sqrt(fan_in)
+    wk, bk = jax.random.split(key)
+    w = jax.random.uniform(wk, (out_c, in_c) + ks, jnp.float32, -s, s)
+    b = jax.random.uniform(bk, (out_c,), jnp.float32, -s, s)
+    return {"w": w, "b": b}
+
+
+def _conv(x, p, nd, dilation=1):
+    """SAME-padded stride-1 conv. Arrays stay float32; Precision.DEFAULT on
+    TPU lowers the matmuls to bfloat16 MXU passes with float32 accumulation
+    (the fast path), and stays exact on CPU for the tests."""
+    w = p["w"]
+    ks = w.shape[2:]
+    dil = (dilation,) * nd
+    pad = tuple(((k - 1) // 2 * d,) * 2 for k, d in zip(ks, dil))
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,) * nd, padding=pad, rhs_dilation=dil,
+        dimension_numbers=_conv_dims(nd),
+        precision=jax.lax.Precision.DEFAULT)
+    return out + p["b"].reshape((1, -1) + (1,) * nd)
+
+
+def _pixel_shuffle(x, up, nd):
+    """Interleave (out*up^nd) channels into space, the TPU-native form of
+    nn.SpatialConvolutionUpsample / VolumetricConvolutionUpsample
+    (lib/modules/spatial_convolution_upsample.lua:47-82)."""
+    if nd == 2:
+        b, c, h, w = x.shape
+        oc = c // (up * up)
+        x = x.reshape(b, oc, up, up, h, w)
+        x = x.transpose(0, 1, 4, 2, 5, 3)        # b, oc, h, sH, w, sW
+        return x.reshape(b, oc, h * up, w * up)
+    b, c, d, h, w = x.shape
+    oc = c // (up ** 3)
+    x = x.reshape(b, oc, up, up, up, d, h, w)
+    x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)      # b, oc, d,sD, h,sH, w,sW
+    return x.reshape(b, oc, d * up, h * up, w * up)
+
+
+def _pool(x, size, nd, kind):
+    dims = (1, 1) + (size,) * nd
+    if kind == "avg":
+        out = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, dims, "VALID")
+        return out / float(size ** nd)
+    if kind == "max":
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, dims,
+                                     "VALID")
+    raise ValueError(kind)
+
+
+def _nearest_upsample(x, ratio, nd):
+    """SpatialUpSamplingNearest / tfluids.VolumetricUpSamplingNearest
+    (torch/tfluids/volumetric_up_sampling_nearest.lua)."""
+    for ax in range(x.ndim - nd, x.ndim):
+        x = jnp.repeat(x, ratio, axis=ax)
+    return x
+
+
+def _nonlin(x, kind):
+    if kind == "relu":
+        return jax.nn.relu(x)
+    if kind == "relu6":
+        return jnp.minimum(jax.nn.relu(x), 6.0)
+    if kind == "sigmoid":
+        return jax.nn.sigmoid(x)
+    raise ValueError(kind)
+
+
+# -----------------------------------------------------------------------------
+# Stage construction: full-rank / low-rank / upsampling / dilated / gated.
+# (model_utils.lua:64-182)
+# -----------------------------------------------------------------------------
+
+def _init_stage(key, mconf, in_c, out_c, k, up, nd, rank=None,
+                inter_feats=None, gated=False):
+    if rank is None:
+        rank = nd  # full rank default (model_utils.lua:154-161)
+    keys = jax.random.split(key, 8)
+    # The stage kind is implied by structure ('conv' vs 'convs' + the static
+    # `up` passed to _apply_stage), keeping the params pytree string-free.
+    p = {}
+    if up > 1:
+        assert rank == nd, "upsampling layers must be full rank"
+        p["conv"] = _init_conv(keys[0], in_c, out_c * up ** nd, k, nd)
+    elif rank == nd:
+        p["conv"] = _init_conv(keys[0], in_c, out_c, k, nd)
+    else:
+        # Low-rank separable factorization (model_utils.lua:78-120).
+        assert inter_feats is not None
+        if nd == 2:  # rank 1: (k,1) then (1,k)
+            p["convs"] = [
+                _init_conv(keys[0], in_c, inter_feats, (1, k), 2),
+                _init_conv(keys[1], inter_feats, out_c, (k, 1), 2),
+            ]
+        else:
+            if rank == 1:
+                p["convs"] = [
+                    _init_conv(keys[0], in_c, inter_feats, (1, 1, k), 3),
+                    _init_conv(keys[1], inter_feats, inter_feats, (1, k, 1), 3),
+                    _init_conv(keys[2], inter_feats, out_c, (k, 1, 1), 3),
+                ]
+            else:  # rank 2
+                p["convs"] = [
+                    _init_conv(keys[0], in_c, inter_feats, (1, k, k), 3),
+                    _init_conv(keys[1], inter_feats, out_c, (k, k, 1), 3),
+                ]
+    if gated:
+        p["gate"] = _init_conv(keys[3], in_c,
+                               out_c * (up ** nd if up > 1 else 1), k, nd)
+    return p
+
+
+def _apply_stage(p, x, nd, up=1, dilation=1):
+    if up > 1:
+        out = _conv(x, p["conv"], nd)
+        if "gate" in p:
+            out = out * _conv(x, p["gate"], nd)
+        return _pixel_shuffle(out, up, nd)
+    if "conv" in p:
+        out = _conv(x, p["conv"], nd, dilation)
+    else:
+        out = x
+        for cp in p["convs"]:
+            out = _conv(out, cp, nd, dilation)
+    if "gate" in p:
+        out = out * _conv(x, p["gate"], nd, dilation)
+    return out
+
+
+def _init_bn(out_c):
+    return {"scale": jnp.ones((out_c,)), "bias": jnp.zeros((out_c,)),
+            "mean": jnp.zeros((out_c,)), "var": jnp.ones((out_c,))}
+
+
+def _apply_bn(p, x, nd, eps, affine, training):
+    axes = (0,) + tuple(range(2, 2 + nd))
+    if training:
+        mean = jnp.mean(x, axes)
+        var = jnp.var(x, axes)
+    else:
+        mean, var = p["mean"], p["var"]
+    shape = (1, -1) + (1,) * nd
+    out = (x - mean.reshape(shape)) * jax.lax.rsqrt(
+        var.reshape(shape) + eps)
+    if affine:
+        out = out * p["scale"].reshape(shape) + p["bias"].reshape(shape)
+    return out
+
+
+# -----------------------------------------------------------------------------
+# Model init / apply.
+# -----------------------------------------------------------------------------
+
+def init_model(key, mconf: ModelConfig):
+    """Builds the params pytree for defineModelGraph (model.lua:27-401)."""
+    osize, ksize, psize, usize = layer_spec(mconf)
+    n_stage = len(osize)
+    nd = 3 if mconf.is_3d else 2
+    assert osize[-1] == 1 and psize[-1] == 1
+    assert mconf.banks_num >= 1
+    if mconf.banks_num > 1:
+        assert mconf.banks_split_stage < mconf.banks_join_stage
+        assert 1 <= mconf.banks_split_stage < n_stage
+        assert 1 <= mconf.banks_join_stage < n_stage
+
+    in_c = num_input_channels(mconf)
+    params = {"stages": [], "bn": []}
+    keys = jax.random.split(key, n_stage + 1)
+    n_banks_now = 1
+    for lid in range(n_stage - 1):   # lua stages 1..#osize-1
+        if mconf.banks_num > 1 and lid + 1 == mconf.banks_split_stage:
+            n_banks_now = mconf.banks_num
+        if mconf.banks_num > 1 and lid + 1 == mconf.banks_join_stage:
+            if mconf.banks_aggregate_method == "concat":
+                in_c = in_c * mconf.banks_num
+            n_banks_now = 1
+        bank_keys = jax.random.split(keys[lid], max(n_banks_now, 1))
+        if mconf.banks_weight_share:
+            stage = [_init_stage(bank_keys[0], mconf, in_c, osize[lid],
+                                 ksize[lid], usize[lid], nd)] * n_banks_now
+        else:
+            stage = [_init_stage(bank_keys[i], mconf, in_c, osize[lid],
+                                 ksize[lid], usize[lid], nd)
+                     for i in range(n_banks_now)]
+        params["stages"].append(stage)
+        params["bn"].append(_init_bn(osize[lid]) if mconf.add_batch_norm
+                            else None)
+        in_c = osize[lid]
+
+    if mconf.add_pressure_skip:
+        in_c += 1
+    params["final"] = _init_stage(keys[-1], mconf, in_c, 1, ksize[-1],
+                                  usize[-1], nd)
+    return params
+
+
+def _input_scale(mconf, p_div, u_div, div):
+    """Per-sample normalization scale (model.lua:92-131): std (unbiased
+    sample variance, lib/modules/variance.lua:16-17) or l2 norm of the
+    chosen channel, clamped below."""
+    chan = {"UDiv": u_div, "pDiv": p_div, "div": div}[
+        mconf.normalize_input_chan]
+    b = chan.shape[0]
+    flat = chan.reshape(b, -1)
+    if mconf.normalize_input_func == "std":
+        n = flat.shape[1]
+        mean = jnp.mean(flat, axis=1, keepdims=True)
+        var = jnp.sum((flat - mean) ** 2, axis=1) / (n - 1)
+        s = jnp.sqrt(var)
+    elif mconf.normalize_input_func == "norm":
+        s = jnp.sqrt(jnp.sum(flat * flat, axis=1))
+    else:
+        raise ValueError(mconf.normalize_input_func)
+    s = jnp.maximum(s, mconf.normalize_input_threshold)
+    return s.reshape(b, 1, 1, 1, 1)
+
+
+def apply_model(params, mconf: ModelConfig, p_div, u_div, flags,
+                training: bool = False):
+    """Forward pass; returns (p, U) like parseModelOutput (model.lua:445-450).
+
+    All inputs (b, c, z, y, x); 2-D convs run on squeezed (b, c, y, x)
+    (model.lua:152-155)."""
+    osize, ksize, psize, usize = layer_spec(mconf)
+    nd = 3 if mconf.is_3d else 2
+    ic = mconf.input_channels
+
+    u_div = set_wall_bcs(u_div, flags)
+    div = velocity_divergence(u_div, flags) if ic.div else None
+
+    if mconf.normalize_input:
+        s = _input_scale(mconf, p_div, u_div, div)
+        p_div = p_div / s
+        u_div = u_div / s
+        if div is not None:
+            div = div / s
+
+    chans = []
+    if ic.p_div:
+        chans.append(p_div)
+    if ic.u_div:
+        chans.append(u_div)
+    if ic.div:
+        chans.append(div)
+    chans.append(flags_to_occupancy(flags))
+    x = jnp.concatenate(chans, axis=1)
+
+    if not mconf.is_3d:
+        x = x[:, :, 0]  # squeeze unary z (model.lua:154)
+
+    hl = [x]
+    n_stage = len(osize)
+    for lid in range(n_stage - 1):
+        if mconf.banks_num > 1 and lid + 1 == mconf.banks_split_stage:
+            if mconf.banks_type == "mres":
+                for ib in range(1, mconf.banks_num):
+                    hl.append(_pool(hl[ib - 1], 2, nd, "avg"))
+            else:
+                hl = [hl[0]] * mconf.banks_num
+        if mconf.banks_num > 1 and lid + 1 == mconf.banks_join_stage:
+            if mconf.banks_type == "mres":
+                hl = [hl[0]] + [_nearest_upsample(h, 2 ** ib, nd)
+                                for ib, h in enumerate(hl) if ib > 0]
+            if mconf.banks_aggregate_method == "concat":
+                hl = [jnp.concatenate(hl, axis=1)]
+            elif mconf.banks_aggregate_method == "add":
+                hl = [sum(hl)]
+            else:
+                raise ValueError(mconf.banks_aggregate_method)
+        stage = params["stages"][lid]
+        new_hl = []
+        for ib, h in enumerate(hl):
+            dilation = 2 ** ib if mconf.banks_type == "dilate" else 1
+            out = _apply_stage(stage[ib], h, nd, usize[lid], dilation)
+            out = _nonlin(out, mconf.nonlin_type)
+            if psize[lid] > 1:
+                out = _pool(out, psize[lid], nd, mconf.pool_type)
+            if mconf.add_batch_norm:
+                out = _apply_bn(params["bn"][lid], out, nd,
+                                mconf.batch_norm_eps,
+                                mconf.batch_norm_affine, training)
+            new_hl.append(out)
+        hl = new_hl
+
+    assert len(hl) == 1, "banks must be joined before the final stage"
+    h = hl[0]
+    if mconf.add_pressure_skip:
+        skip = p_div if mconf.is_3d else p_div[:, :, 0]
+        h = jnp.concatenate([h, skip], axis=1)
+
+    p = _apply_stage(params["final"], h, nd, usize[-1])
+    if not mconf.is_3d:
+        p = p[:, :, None]  # unsqueeze z (model.lua:368)
+
+    u = velocity_update(u_div, flags, p)
+
+    if mconf.normalize_input:
+        p = p * s
+        u = u * s
+
+    u = set_wall_bcs(u, flags)
+    return p, u
+
+
+def make_model_fn(mconf: ModelConfig):
+    """Adapter matching the simulate() model_fn signature."""
+    def model_fn(params, p, u, flags):
+        return apply_model(params, mconf, p, u, flags)
+    return model_fn

@@ -1,0 +1,206 @@
+"""The top-level time-integration loop: advect -> forces -> project.
+
+Functional port of tfluids.simulate (torch/lib/simulate.lua:175-327):
+one call advances the state a single timestep using the ConvNet, Jacobi or
+PCG pressure projection. Pure: takes and returns a FluidState; jittable
+with a static ModelConfig (sim-method switches are compile-time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fluidnet_tpu.core.config import ModelConfig
+from fluidnet_tpu.core.grids import FluidState, get_dx
+from fluidnet_tpu.ops.advect import advect_scalar, advect_vel
+from fluidnet_tpu.ops.boundary import set_wall_bcs
+from fluidnet_tpu.ops.divergence import velocity_divergence
+from fluidnet_tpu.ops.forces import (add_buoyancy, add_gravity,
+                                     vorticity_confinement)
+from fluidnet_tpu.ops.velocity_update import velocity_update
+from fluidnet_tpu.solvers.cg import solve_pcg
+from fluidnet_tpu.solvers.jacobi import solve_jacobi
+
+U_CLAMP = 1e6  # blow-up containment (simulate.lua:323-326)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Boundaries:
+    """Frozen boundary-condition masks (simulate.lua:125-160 setConstVals).
+
+    value' = value * inv_mask + bc. All fields optional.
+    """
+    u_bc: Optional[jax.Array] = None
+    u_bc_inv_mask: Optional[jax.Array] = None
+    p_bc: Optional[jax.Array] = None
+    p_bc_inv_mask: Optional[jax.Array] = None
+    density_bc: Optional[jax.Array] = None
+    density_bc_inv_mask: Optional[jax.Array] = None
+
+
+def apply_boundaries(state: FluidState, bcs: Optional[Boundaries]):
+    if bcs is None:
+        return state
+    u, p, density = state.u, state.p, state.density
+    if bcs.u_bc is not None:
+        u = u * bcs.u_bc_inv_mask + bcs.u_bc
+    if bcs.p_bc is not None:
+        p = p * bcs.p_bc_inv_mask + bcs.p_bc
+    if bcs.density_bc is not None and density is not None:
+        density = density * bcs.density_bc_inv_mask + bcs.density_bc
+    return state.replace(u=u, p=p, density=density)
+
+
+def _get_gravity(mconf: ModelConfig, dtype):
+    if mconf.gravity is None:
+        return jnp.array([0.0, 1.0, 0.0], dtype)  # simulate.lua:204-213
+    return jnp.asarray(mconf.gravity, dtype)
+
+
+def simulate(state: FluidState, mconf: ModelConfig,
+             model_fn: Optional[Callable] = None,
+             params=None,
+             bcs: Optional[Boundaries] = None,
+             output_div: bool = False,
+             dt: Optional[jax.Array] = None,
+             gravity: Optional[jax.Array] = None,
+             buoyancy_scale: Optional[jax.Array] = None,
+             gravity_scale: Optional[jax.Array] = None,
+             vorticity_amp: Optional[jax.Array] = None) -> FluidState:
+    """One simulation step. `model_fn(params, p, u, flags) -> (p, u)` is the
+    learned projection (required when mconf.sim_method == 'convnet').
+
+    `dt` optionally overrides mconf.dt with a traced value (used by the
+    training loop's random time-scale perturbation, run_epoch.lua:243-249).
+    `gravity`/`buoyancy_scale`/`gravity_scale`/`vorticity_amp` optionally
+    override the static mconf values with traced ones — the training loop's
+    per-batch force randomization (run_epoch.lua:133-158) then needs no
+    recompilation (a zero traced scale is a no-op in the same graph).
+    """
+    if dt is None:
+        dt = mconf.dt
+    u, p, flags, density = state.u, state.p, state.flags, state.density
+    dx = get_dx(flags)
+
+    # 1. Advect scalar fields (multi-channel densities advect per channel,
+    #    simulate.lua:183-195).
+    if density is not None:
+        chans = [advect_scalar(dt, density[:, c:c + 1], u, flags,
+                               method=mconf.advection_method,
+                               sample_outside_fluid=False,
+                               maccormack_strength=mconf.maccormack_strength)
+                 for c in range(density.shape[1])]
+        density = jnp.concatenate(chans, axis=1)
+
+    # 2. Self-advect velocity (must be advected last, simulate.lua:197-199).
+    u = advect_vel(dt, u, flags, method=mconf.advection_method,
+                   maccormack_strength=mconf.maccormack_strength)
+
+    # 3. External boundary conditions (simulate.lua:201-202).
+    state = apply_boundaries(
+        state.replace(u=u, p=p, density=density), bcs)
+    u, p, density = state.u, state.p, state.density
+
+    # 4. Buoyancy (simulate.lua:216-226): scale -(dx/4)*buoyancyScale, first
+    #    density channel only.
+    g_vec = gravity if gravity is not None else _get_gravity(mconf, u.dtype)
+    b_scale = buoyancy_scale if buoyancy_scale is not None \
+        else mconf.buoyancy_scale
+    if density is not None and (buoyancy_scale is not None or
+                                mconf.buoyancy_scale > 0):
+        g = g_vec * (-(dx / 4.0) * b_scale)
+        u = add_buoyancy(u, flags, density[:, 0:1], g, dt)
+
+    # 5. Gravity (simulate.lua:229-233).
+    g_scale = gravity_scale if gravity_scale is not None \
+        else mconf.gravity_scale
+    if gravity_scale is not None or mconf.gravity_scale > 0:
+        g = g_vec * (-(dx / 4.0) * g_scale)
+        u = add_gravity(u, flags, g, dt)
+
+    # 6. Vorticity confinement (simulate.lua:236-239).
+    v_amp = vorticity_amp if vorticity_amp is not None \
+        else mconf.vorticity_confinement_amp
+    if vorticity_amp is not None or mconf.vorticity_confinement_amp > 0:
+        u = vorticity_confinement(u, flags, dx * v_amp)
+
+    if output_div:
+        # Return the divergent state for training (simulate.lua:241-245).
+        return state.replace(u=u, p=p, density=density)
+
+    # 7. Projection (simulate.lua:248-304).
+    if mconf.sim_method != "convnet":
+        u = set_wall_bcs(u, flags)
+    state = apply_boundaries(state.replace(u=u, p=p, density=density), bcs)
+    u, p, density = state.u, state.p, state.density
+
+    if mconf.sim_method == "convnet":
+        assert model_fn is not None, "convnet sim method needs a model"
+        p, u = model_fn(params, p, u, flags)
+    else:
+        div = velocity_divergence(u, flags)
+        if mconf.sim_method == "pcg":
+            p, _ = solve_pcg(flags, div, tol=1e-4, max_iter=mconf.max_iter)
+        elif mconf.sim_method == "jacobi":
+            p, _ = solve_jacobi(flags, div, p_tol=0.0,
+                                max_iter=mconf.max_iter)
+        else:
+            raise ValueError(f"bad sim_method {mconf.sim_method}")
+        u = velocity_update(u, flags, p)
+
+    state = apply_boundaries(state.replace(u=u, p=p, density=density), bcs)
+    u = jnp.clip(state.u, -U_CLAMP, U_CLAMP)
+    return state.replace(u=u)
+
+
+def create_plume_bcs(state: FluidState, density_val, u_scale: float,
+                     rad: float) -> Boundaries:
+    """Plume inflow at the domain bottom (simulate.lua:47-123).
+
+    U = (0, u_scale, 0) and density = density_val inside a circle of radius
+    `rad * xdim` in the bottom 4 rows; velocity frozen to 0 outside the
+    circle in those rows. Matches createPlumeBCs exactly (including the
+    freeze-outside behavior, simulate.lua:114-119).
+    """
+    u, density = state.u, state.density
+    assert density is not None, "plume BCs require a density field"
+    b, cu, Z, Y, X = u.shape
+    is_3d = cu == 3
+    if not isinstance(density_val, (list, tuple)):
+        density_val = [density_val]
+    assert len(density_val) == density.shape[1]
+
+    center_x = X // 2
+    center_z = max(Z // 2, 1)
+    plume_rad = int(X * rad)
+
+    xi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z, Y, X), 4)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z, Y, X), 3)
+    zi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z, Y, X), 2)
+    # Reference loops z=1..zdim, y=1..4, x=1..xdim (1-based) -> rows 0..3.
+    in_rows = yi < 4
+    dx_ = (center_x - 1) - xi   # match the reference's 1-based centerX - x
+    dz_ = (center_z - 1) - zi
+    in_circle = in_rows & ((dx_ * dx_ + dz_ * dz_) <= plume_rad * plume_rad)
+
+    vec = [0.0, float(u_scale)] + ([0.0] if is_3d else [])
+    u_bc = jnp.zeros_like(u)
+    for c, v in enumerate(vec):
+        u_bc = u_bc.at[:, c:c + 1].set(jnp.where(in_circle, v, 0.0))
+    u_inv = jnp.where(in_rows, 0.0, 1.0).astype(u.dtype)
+    u_inv = jnp.broadcast_to(u_inv, u.shape)
+
+    d_bc = jnp.concatenate(
+        [jnp.where(in_circle, float(v), 0.0).astype(density.dtype)
+         for v in density_val], axis=1)
+    d_bc = jnp.broadcast_to(d_bc, density.shape)
+    d_inv = jnp.broadcast_to(jnp.where(in_circle, 0.0, 1.0).astype(
+        density.dtype), density.shape)
+
+    return Boundaries(u_bc=u_bc, u_bc_inv_mask=u_inv,
+                      density_bc=d_bc, density_bc_inv_mask=d_inv)

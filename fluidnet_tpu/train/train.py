@@ -1,0 +1,198 @@
+"""Training step: divergence loss + unrolled long-term divergence loss.
+
+Functional port of the feval closure in torch.runEpoch
+(torch/lib/run_epoch.lua:191-320):
+
+  1. model forward on the divergent input; FluidCriterion loss.
+  2. long-term loss: run `simulate` forward n in {4, 16} steps with a random
+     per-batch dt scale and randomized forces; model forward on the final
+     divergent state; divergence loss only (no manta GT for future frames,
+     run_epoch.lua:273-277).
+  3. global-norm gradient clip to mconf.gradNormThreshold; Adam.
+
+Two gradient modes (mconf.long_term_grad_mode):
+  'last': gradients flow through the final projection only — exactly the
+          reference (state copies break its graph, simulate.lua:267-272).
+  'full': the whole unroll is differentiated, each step rematerialized with
+          jax.checkpoint — the improvement SURVEY.md §7 calls for.
+
+Everything is one jitted function per (mconf, n_future_steps); the horizon
+is sampled host-side per batch like the reference's lua RNG
+(run_epoch.lua:254-257), giving two cached executables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fluidnet_tpu.core.config import ModelConfig
+from fluidnet_tpu.core.grids import FluidState
+from fluidnet_tpu.models.fluidnet import apply_model, init_model
+from fluidnet_tpu.sim.simulate import simulate
+from fluidnet_tpu.train.loss import fluid_loss
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(mconf: ModelConfig):
+    """Gradient clip + Adam (run_epoch.lua:304-320, default_conf.lua:108-119).
+
+    The LR schedule multipliers (conf.lrEpochMults) are applied by the
+    training driver through optax's injected hyperparams."""
+    return optax.chain(
+        optax.clip_by_global_norm(mconf.grad_norm_threshold),
+        optax.inject_hyperparams(optax.adam)(
+            learning_rate=mconf.optim.learning_rate,
+            b1=mconf.optim.beta1, b2=mconf.optim.beta2,
+            eps=mconf.optim.epsilon),
+        optax.add_decayed_weights(mconf.optim.weight_decay)
+        if mconf.optim.weight_decay else optax.identity(),
+    )
+
+
+def init_train_state(key, mconf: ModelConfig) -> TrainState:
+    params = init_model(key, mconf)
+    opt = make_optimizer(mconf)
+    return TrainState(params=params, opt_state=opt.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Epoch-boundary LR multiplier application (run_epoch.lua:40-48)."""
+    state.opt_state[1].hyperparams["learning_rate"] = jnp.asarray(lr)
+    return state
+
+
+def _random_forces(key, mconf: ModelConfig, dtype=jnp.float32):
+    """Per-batch force randomization (run_epoch.lua:133-158): random cardinal
+    gravity direction; buoyancy/gravity/vorticity switched on with their
+    train probabilities. Returns traced (gravity, b_scale, g_scale, v_amp)."""
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    axis = jax.random.randint(k1, (), 0, 3)
+    sign = jax.random.randint(k2, (), 0, 2) * 2 - 1
+    gravity = jnp.zeros(3, dtype).at[axis].set(sign.astype(dtype))
+    b_on = jax.random.uniform(k3) < mconf.train_buoyancy_prob
+    g_on = jax.random.uniform(k4) < mconf.train_gravity_prob
+    v_on = jax.random.uniform(k5) < mconf.train_vorticity_confinement_prob
+    b_scale = jnp.where(b_on, mconf.train_buoyancy_scale, 0.0)
+    g_scale = jnp.where(g_on, mconf.train_gravity_scale, 0.0)
+    v_amp = jnp.where(v_on, mconf.train_vorticity_confinement_amp, 0.0)
+    return gravity, b_scale, g_scale, v_amp
+
+
+def _random_dt(key, mconf: ModelConfig):
+    """Random time-scale perturbation (run_epoch.lua:243-249): scale =
+    0.2028 + |N(0,1) * timeScaleSigma| (the constant makes E[scale] ~= 1)."""
+    if mconf.time_scale_sigma <= 0:
+        return jnp.asarray(mconf.dt)
+    scale = 0.2028 + jnp.abs(jax.random.normal(key) * mconf.time_scale_sigma)
+    return mconf.dt * scale
+
+
+def sample_future_steps(py_rng, mconf: ModelConfig) -> int:
+    """Host-side horizon sampling (run_epoch.lua:254-257)."""
+    if py_rng.random() <= mconf.long_term_div_probability:
+        return mconf.long_term_div_num_steps[0]
+    return mconf.long_term_div_num_steps[1]
+
+
+def _batch_state(batch) -> FluidState:
+    return FluidState(u=batch["u_div"], p=batch["p_div"],
+                      flags=batch["flags"], density=batch.get("density"))
+
+
+def loss_fn(params, batch, key, mconf: ModelConfig, n_future: int,
+            loss_weights=None):
+    """Total loss for one batch. batch keys: p_div, u_div, flags,
+    p_target, u_target, optional density."""
+    flags = batch["flags"]
+    p_pred, u_pred = apply_model(params, mconf, batch["p_div"],
+                                 batch["u_div"], flags)
+    total, terms = fluid_loss(mconf, p_pred, u_pred, batch["p_target"],
+                              batch["u_target"], flags, weights=loss_weights)
+
+    if n_future > 0 and mconf.long_term_div_lambda > 0:
+        kdt, kforce = jax.random.split(key)
+        dt = _random_dt(kdt, mconf)
+        gravity, b_scale, g_scale, v_amp = _random_forces(kforce, mconf)
+        state = _batch_state(batch)
+
+        def step(s, output_div):
+            return simulate(
+                s, mconf, model_fn=lambda pr, p, u, f: apply_model(
+                    pr, mconf, p, u, f),
+                params=params, output_div=output_div, dt=dt,
+                gravity=gravity, buoyancy_scale=b_scale,
+                gravity_scale=g_scale, vorticity_amp=v_amp)
+
+        if mconf.long_term_grad_mode == "full":
+            step_remat = jax.checkpoint(
+                lambda s: step(s, False), prevent_cse=False)
+            for _ in range(n_future - 1):
+                state = step_remat(state)
+            state = step(state, True)
+        else:
+            # Reference semantics: inference-mode unroll, grads only through
+            # the final projection (run_epoch.lua:262-269).
+            for i in range(n_future):
+                state = step(state, output_div=(i == n_future - 1))
+            state = jax.tree_util.tree_map(jax.lax.stop_gradient, state)
+
+        p_lt, u_lt = apply_model(params, mconf, state.p, state.u, flags)
+        # No manta GT for future frames: pressure/velocity lambdas are zeroed
+        # (run_epoch.lua:273-277); divergence target is zero.
+        lt_total, lt_terms = fluid_loss(
+            mconf, p_lt, u_lt, state.p, state.u, flags,
+            p_lambda=0.0, u_lambda=0.0,
+            div_lambda=mconf.long_term_div_lambda, weights=loss_weights)
+        total = total + lt_total
+        terms["long_term_div"] = lt_terms["div"]
+    else:
+        terms["long_term_div"] = jnp.asarray(0.0)
+
+    terms["total"] = total
+    return total, terms
+
+
+@partial(jax.jit, static_argnames=("mconf", "n_future"))
+def train_step(state: TrainState, batch, key, mconf: ModelConfig,
+               n_future: int):
+    """One optimization step; returns (new_state, metrics)."""
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (_, terms), grads = grad_fn(state.params, batch, key, mconf, n_future)
+    opt = make_optimizer(mconf)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    terms["grad_norm"] = optax.global_norm(grads)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=state.step + 1), terms
+
+
+@partial(jax.jit, static_argnames=("mconf", "n_future"))
+def eval_step(batch, params, key, mconf: ModelConfig, n_future: int):
+    _, terms = loss_fn(params, batch, key, mconf, n_future)
+    return terms
+
+
+def make_train_step(mconf: ModelConfig):
+    def fn(state, batch, key, n_future):
+        return train_step(state, batch, key, mconf, n_future)
+    return fn
+
+
+def make_eval_step(mconf: ModelConfig):
+    def fn(params, batch, key, n_future):
+        return eval_step(batch, params, key, mconf, n_future)
+    return fn
