@@ -1,0 +1,154 @@
+"""Dataset: paired divergent/corrected frames + async prefetch.
+
+Port of torch.DataBinary (torch/lib/data_binary.lua) and torch.DataParallel
+(torch/lib/data_parallel.lua):
+
+  - scans  <data_dir>/<dataset>/{tr,te}/<run>/NNNNNN.bin (+ _divergent.bin)
+  - drops runs whose target divergence exceeds 1e-2 (data_binary.lua:29,
+    126-134)
+  - a sample is a (run, frame) pair; batches carry
+    {p_div, u_div, density, flags, p_target, u_target, density_target}
+  - PrefetchLoader: a thread pool assembles batches ahead of the training
+    loop (the reference needed 8 threads to hide disk IO, README.md:74).
+
+Frames are memory-cached after first read (the reference caches processed
+frames to disk, data_binary.lua:190-228; RAM is the simpler equivalent at
+these sizes — a 128^2 2-D frame is ~400 KB).
+"""
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+from fluidnet_tpu.data.manta_io import load_manta_file
+from fluidnet_tpu.ops.divergence import velocity_divergence
+
+DIV_SCREEN_THRESHOLD = 1e-2  # data_binary.lua:29
+
+
+class FluidDataset:
+    def __init__(self, data_dir, dataset, split="tr", ignore_frames=0,
+                 screen_divergent_runs=True, cache=True):
+        self.root = os.path.join(data_dir, dataset, split)
+        if not os.path.isdir(self.root):
+            raise FileNotFoundError(self.root)
+        self.cache = {} if cache else None
+        self.samples = []  # list of (run_dir, frame_base_path)
+        self.is_3d = None
+
+        runs = sorted(d for d in os.listdir(self.root)
+                      if os.path.isdir(os.path.join(self.root, d)))
+        for run in runs:
+            rd = os.path.join(self.root, run)
+            frames = sorted(f for f in os.listdir(rd)
+                            if f.endswith(".bin") and
+                            not f.endswith("_divergent.bin"))
+            frames = frames[ignore_frames:]
+            if not frames:
+                continue
+            if screen_divergent_runs and self._run_diverged(rd, frames):
+                continue
+            for f in frames:
+                div_f = f[:-4] + "_divergent.bin"
+                if os.path.exists(os.path.join(rd, div_f)):
+                    self.samples.append((rd, f))
+        if not self.samples:
+            raise RuntimeError(f"no samples found under {self.root}")
+        first = self._load(*self.samples[0])
+        self.is_3d = first["is_3d"]
+
+    def _run_diverged(self, run_dir, frames):
+        """Screens runs whose TARGET field still has large divergence
+        (data_binary.lua:126-134). Only the last frame is checked — if the
+        solve diverged it diverged at the end."""
+        import jax.numpy as jnp
+        d = load_manta_file(os.path.join(run_dir, frames[-1]))
+        div = velocity_divergence(jnp.asarray(d["U"]), jnp.asarray(d["flags"]))
+        return float(abs(np.asarray(div)).max()) > DIV_SCREEN_THRESHOLD
+
+    def _load(self, run_dir, fname):
+        key = (run_dir, fname)
+        if self.cache is not None and key in self.cache:
+            return self.cache[key]
+        tgt = load_manta_file(os.path.join(run_dir, fname))
+        div = load_manta_file(os.path.join(run_dir,
+                                           fname[:-4] + "_divergent.bin"))
+        sample = {
+            "p_div": div["p"], "u_div": div["U"], "density": div["density"],
+            "flags": tgt["flags"],
+            "p_target": tgt["p"], "u_target": tgt["U"],
+            "density_target": tgt["density"],
+            "is_3d": tgt["is_3d"],
+        }
+        if self.cache is not None:
+            self.cache[key] = sample
+        return sample
+
+    def __len__(self):
+        return len(self.samples)
+
+    def get_batch(self, indices):
+        """Assembles a batch dict of stacked numpy arrays
+        (AllocateBatchMemory/CreateBatch, data_binary.lua:356-453)."""
+        items = [self._load(*self.samples[i]) for i in indices]
+        batch = {}
+        for k in ("p_div", "u_div", "density", "flags", "p_target",
+                  "u_target", "density_target"):
+            batch[k] = np.concatenate([it[k] for it in items], axis=0)
+        return batch
+
+
+class PrefetchLoader:
+    """Threaded batch prefetcher over a dataset with get_batch(indices).
+
+    Equivalent of torch.DataParallel (data_parallel.lua:49-194): batches
+    complete out of order; every sample is delivered exactly once per epoch.
+    """
+
+    def __init__(self, dataset, batch_size, num_threads=8, shuffle=True,
+                 seed=0, depth=4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_threads = max(1, num_threads)
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.depth = depth
+
+    def epoch(self, drop_last=False):
+        """Yields (batch, indices) for one pass over the dataset."""
+        n = len(self.dataset)
+        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        chunks = [order[i:i + self.batch_size]
+                  for i in range(0, n, self.batch_size)]
+        if drop_last:
+            chunks = [c for c in chunks if len(c) == self.batch_size]
+
+        out_q = queue.Queue(maxsize=self.depth)
+        in_q = queue.Queue()
+        for c in chunks:
+            in_q.put(c)
+
+        def worker():
+            while True:
+                try:
+                    idx = in_q.get_nowait()
+                except queue.Empty:
+                    return
+                out_q.put((self.dataset.get_batch(idx), idx))
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_threads)]
+        for t in threads:
+            t.start()
+        seen = set()
+        for _ in range(len(chunks)):
+            batch, idx = out_q.get()
+            for i in idx:
+                # Double-count guard (run_epoch.lua:124-127).
+                assert int(i) not in seen, "double-counted sample!"
+                seen.add(int(i))
+            yield batch, idx
+        for t in threads:
+            t.join()

@@ -1,0 +1,168 @@
+"""Self-generation of training data with the built-in PCG solver.
+
+The reference depends on an external mantaflow fork to render training
+pairs (README.md:126-179; the manta scene steps a classical solver and
+writes the state before and after the pressure projection). This module
+replaces that dependency: random scenes (turbulent initial velocity from a
+divergence-free spectral noise field, random obstacle boxes/spheres, an
+optional plume source, random buoyancy) are stepped with the matrix-free
+PCG projection, and each frame writes the manta-compatible pair
+
+  NNNNNN_divergent.bin  — state after advection+forces, before projection
+  NNNNNN.bin            — state after the PCG projection (the target)
+
+exactly the layout DataBinary consumes (torch/lib/data_binary.lua:51-52).
+"""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fluidnet_tpu.core.celltype import CellType
+from fluidnet_tpu.core.config import ModelConfig
+from fluidnet_tpu.core.grids import FluidState, empty_domain
+from fluidnet_tpu.data.manta_io import frame_name, save_manta_file
+from fluidnet_tpu.ops.boundary import set_wall_bcs
+from fluidnet_tpu.ops.divergence import velocity_divergence
+from fluidnet_tpu.ops.velocity_update import velocity_update
+from fluidnet_tpu.sim.simulate import create_plume_bcs, simulate
+from fluidnet_tpu.solvers.cg import solve_pcg
+
+
+def divergence_free_noise(rng, shape_zyx, is_3d, n_modes=24, max_freq=6,
+                          amplitude=1.0):
+    """Band-limited divergence-free velocity: curl of a random stream
+    function (2-D) / vector potential (3-D). The spectral analogue of
+    manta's wavelet turbulence initialization."""
+    Z, Y, X = shape_zyx
+    zz, yy, xx = np.meshgrid(np.arange(Z), np.arange(Y), np.arange(X),
+                             indexing="ij")
+    n_pots = 3 if is_3d else 1
+    pots = np.zeros((n_pots, Z, Y, X), np.float32)
+    for m in range(n_modes):
+        k = rng.integers(1, max_freq + 1, size=3)
+        if not is_3d:
+            k[0] = 0
+        phase = rng.random(3) * 2 * np.pi
+        amp = amplitude * rng.standard_normal() / n_modes
+        wave = np.cos(2 * np.pi * (k[0] * zz / max(Z, 1) +
+                                   k[1] * yy / Y + k[2] * xx / X) +
+                      phase[0]).astype(np.float32)
+        pots[rng.integers(0, n_pots)] += amp * wave
+
+    def d(a, ax):
+        return np.gradient(a, axis=ax)
+
+    if is_3d:
+        az, ay, ax_ = pots[0], pots[1], pots[2]
+        # u = curl A  (z, y, x axes are 0, 1, 2)
+        ux = d(az, 1) - d(ay, 0)
+        uy = d(ax_, 0) - d(az, 2)
+        uz = d(ay, 2) - d(ax_, 1)
+        u = np.stack([ux, uy, uz])
+    else:
+        psi = pots[0]
+        ux = d(psi, 1)
+        uy = -d(psi, 2)
+        u = np.stack([ux, uy])
+    return u[None]  # (1, c, Z, Y, X)
+
+
+def random_obstacle_flags(rng, shape_zyx, is_3d, max_obstacles=3,
+                          voxels=None):
+    """Empty domain + random solid boxes/spheres; optionally a voxel model
+    occupancy grid blitted in (voxel_utils.lua equivalents live in
+    fluidnet_tpu.io.voxel_utils)."""
+    Z, Y, X = shape_zyx
+    flags = np.asarray(empty_domain((1, 1, Z, Y, X), is_3d)).copy()
+    zz, yy, xx = np.meshgrid(np.arange(Z), np.arange(Y), np.arange(X),
+                             indexing="ij")
+    for _ in range(rng.integers(0, max_obstacles + 1)):
+        kind = rng.choice(["box", "sphere"])
+        cx = rng.integers(X // 8, X - X // 8)
+        cy = rng.integers(Y // 8, Y - Y // 8)
+        cz = rng.integers(Z // 8, Z - Z // 8) if is_3d else 0
+        r = rng.integers(2, max(3, min(X, Y) // 6))
+        if kind == "box":
+            m = (np.abs(xx - cx) <= r) & (np.abs(yy - cy) <= r)
+            if is_3d:
+                m &= np.abs(zz - cz) <= r
+        else:
+            d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+            if is_3d:
+                d2 = d2 + (zz - cz) ** 2
+            m = d2 <= r * r
+        flags[0, 0][m] = int(CellType.TypeObstacle)
+    if voxels is not None:
+        flags[0, 0][voxels > 0.5] = int(CellType.TypeObstacle)
+    return flags
+
+
+def project_pcg(state: FluidState, max_iter=300, tol=1e-5):
+    """The calcPUTargets path (simulate.lua:332-372): wall BCs -> divergence
+    -> PCG -> velocity update -> wall BCs."""
+    u = set_wall_bcs(state.u, state.flags)
+    div = velocity_divergence(u, state.flags)
+    p, residual = solve_pcg(state.flags, div, tol=tol, max_iter=max_iter)
+    u = velocity_update(u, state.flags, p)
+    u = set_wall_bcs(u, state.flags)
+    return state.replace(u=u, p=p), residual
+
+
+def generate_run(out_dir, rng, size_xyz=(64, 64, 1), is_3d=False,
+                 n_frames=64, dt=0.1, buoyancy_scale=None, plume=None,
+                 advection="maccormackOurs", save_every=1, max_iter=300):
+    """Generates one run directory of paired frames. Returns max residual."""
+    os.makedirs(out_dir, exist_ok=True)
+    X, Y, Z = size_xyz
+    flags = jnp.asarray(random_obstacle_flags(rng, (Z, Y, X), is_3d))
+    u0 = jnp.asarray(divergence_free_noise(
+        rng, (Z, Y, X), is_3d, amplitude=float(rng.random() * 4 + 1)),
+        jnp.float32)
+    rho0 = jnp.asarray(rng.random((1, 1, Z, Y, X)), jnp.float32)
+    state = FluidState(u=u0, p=jnp.zeros((1, 1, Z, Y, X), jnp.float32),
+                       flags=flags, density=rho0)
+
+    if buoyancy_scale is None:
+        buoyancy_scale = float(rng.random() * 2.0) if rng.random() < 0.5 else 0.0
+    mconf = ModelConfig(is_3d=is_3d, dt=dt, advection_method=advection,
+                        buoyancy_scale=buoyancy_scale, sim_method="pcg",
+                        max_iter=max_iter)
+    bcs = None
+    if plume is not None or rng.random() < 0.5:
+        scale = plume if plume is not None else float(rng.random() * 1.0 + 0.2)
+        state = state.replace(density=jnp.zeros_like(state.density))
+        bcs = create_plume_bcs(state, [1.0], u_scale=scale, rad=0.15)
+
+    advance = jax.jit(lambda s: simulate(s, mconf, None, None, bcs,
+                                         output_div=True))
+    max_res = 0.0
+    for f in range(n_frames):
+        state = advance(state)               # divergent state
+        if f % save_every == 0:
+            _save(out_dir, f, state)
+        projected, res = project_pcg(state, max_iter=max_iter)
+        max_res = max(max_res, float(res))
+        if f % save_every == 0:
+            _save(out_dir, f, projected, divergent=False)
+        state = projected
+    return max_res
+
+
+def _save(out_dir, frame, state: FluidState, divergent=True):
+    path = os.path.join(out_dir, frame_name(frame, divergent))
+    save_manta_file(path, np.asarray(state.p), np.asarray(state.u),
+                    np.asarray(state.flags),
+                    np.asarray(state.density[:, :1]))
+
+
+def generate_dataset(root, n_tr=4, n_te=2, seed=0, **kw):
+    """Creates <root>/{tr,te}/NNN run directories (data_binary.lua layout)."""
+    rng = np.random.default_rng(seed)
+    for split, n in (("tr", n_tr), ("te", n_te)):
+        for r in range(n):
+            generate_run(os.path.join(root, split, "%03d" % r), rng, **kw)
+    return root

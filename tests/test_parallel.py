@@ -1,0 +1,81 @@
+"""Sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4: the
+multi-chip tests the reference never had)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from fluidnet_tpu.core.config import ModelConfig
+from fluidnet_tpu.core.grids import empty_domain
+from fluidnet_tpu.ops.boundary import set_wall_bcs
+from fluidnet_tpu.ops.divergence import velocity_divergence
+from fluidnet_tpu.parallel.halo import halo_jacobi_solve
+from fluidnet_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        shard_batch)
+from fluidnet_tpu.solvers.jacobi import solve_jacobi
+from fluidnet_tpu.train.train import init_train_state, train_step
+
+
+def test_halo_jacobi_matches_single_device():
+    rng = np.random.default_rng(50)
+    B, Z, Y, X = 1, 16, 16, 16
+    flags = np.asarray(empty_domain((B, 1, Z, Y, X), True)).copy()
+    flags[..., 6:9, 4:8, 5:9] = 2
+    flags = jnp.asarray(flags)
+    u = jnp.asarray(rng.standard_normal((B, 3, Z, Y, X)), jnp.float32)
+    u = set_wall_bcs(u, flags)
+    div = velocity_divergence(u, flags)
+
+    p_ref, _ = solve_jacobi(flags, div, p_tol=0.0, max_iter=50)
+
+    mesh = make_mesh(n_dp=2, n_sp=4)
+    p_sharded = halo_jacobi_solve(flags, div, mesh, n_iter=50)
+    np.testing.assert_allclose(np.asarray(p_sharded), np.asarray(p_ref),
+                               atol=1e-5)
+
+
+def test_batch_sharded_train_step():
+    """The full training step jits and runs with dp-sharded batches; the
+    result matches the unsharded step (SPMD correctness)."""
+    rng = np.random.default_rng(51)
+    from tests.test_train import make_batch
+    mconf = ModelConfig(is_3d=False, time_scale_sigma=0.0)
+    batch = make_batch(rng, n=16, B=8)
+    state = init_train_state(jax.random.PRNGKey(0), mconf)
+    key = jax.random.PRNGKey(1)
+
+    state1, terms1 = train_step(state, batch, key, mconf, n_future=1)
+
+    mesh = make_mesh(n_dp=8, n_sp=1)
+    sharded = shard_batch(batch, mesh)
+    state2, terms2 = train_step(state, sharded, key, mconf, n_future=1)
+    np.testing.assert_allclose(float(terms1["total"]),
+                               float(terms2["total"]), rtol=1e-4)
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    l2 = jax.tree_util.tree_leaves(state2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_spatially_sharded_simulate_step():
+    """GSPMD path: a 3-D sim step with the grid z-sharded over sp; XLA
+    inserts the stencil halo exchanges automatically."""
+    from fluidnet_tpu.core.grids import FluidState
+    from fluidnet_tpu.sim.simulate import simulate
+    mesh = make_mesh(n_dp=1, n_sp=8)
+    mconf = ModelConfig(is_3d=True, sim_method="jacobi", max_iter=10,
+                        buoyancy_scale=1.0, advection_method="euler")
+    B, Z, Y, X = 1, 16, 16, 16
+    sh = jax.sharding.NamedSharding(mesh, P(None, None, "sp", None, None))
+    state = FluidState(
+        u=jax.device_put(jnp.zeros((B, 3, Z, Y, X)), sh),
+        p=jax.device_put(jnp.zeros((B, 1, Z, Y, X)), sh),
+        flags=jax.device_put(empty_domain((B, 1, Z, Y, X), True), sh),
+        density=jax.device_put(jnp.ones((B, 1, Z, Y, X)) * 0.5, sh))
+    step = jax.jit(lambda s: simulate(s, mconf))
+    out = step(state)
+    assert np.all(np.isfinite(np.asarray(out.u)))
