@@ -1,0 +1,147 @@
+"""2-D realtime demo, headless edition.
+
+Equivalent of `qlua -lenv fluid_net_2d_demo.lua`
+(torch/fluid_net_2d_demo.lua): a 2-D plume with RGB density advection and
+interactive force splats — the LuaGL window becomes PNG/PPM frame dumps
+(zero-dependency writer) plus an optional mouse-free scripted "interaction"
+(random force splats with the same sphere falloff as lib/emitter.lua:172).
+
+  python -m fluidnet_tpu.cli.demo2d --res 128 --frames 256 \\
+      --sim_method convnet --out_dir data/output/demo2d
+"""
+
+import argparse
+import os
+import struct
+import time
+import zlib
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fluidnet_tpu.core.config import ModelConfig
+from fluidnet_tpu.core.grids import FluidState, empty_domain
+from fluidnet_tpu.models.fluidnet import apply_model
+from fluidnet_tpu.sim.simulate import create_plume_bcs, simulate
+from fluidnet_tpu.train.train import init_train_state
+from fluidnet_tpu.utils.checkpoint import load_checkpoint, load_mconf
+
+
+def write_png(path, rgb):
+    """Minimal PNG writer (8-bit RGB, no deps). rgb: (h, w, 3) uint8."""
+    h, w, _ = rgb.shape
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + \
+            struct.pack(">I", zlib.crc32(c) & 0xffffffff)
+
+    hdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", hdr) +
+           chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def sphere_force_splat(state, center_yx, force_yx, radius):
+    """Mouse-splat equivalent: adds a smoothstep-falloff force blob to U
+    (lib/emitter.lua sphereForceFalloff + fluid_net_2d_demo.lua:556-594)."""
+    _, _, Z, Y, X = state.u.shape
+    yy, xx = np.meshgrid(np.arange(Y), np.arange(X), indexing="ij")
+    d = np.sqrt((yy - center_yx[0]) ** 2 + (xx - center_yx[1]) ** 2) / radius
+    t = np.clip(1.0 - d, 0.0, 1.0)
+    fall = (t * t * (3 - 2 * t)).astype(np.float32)  # smoothstep
+    du = np.zeros(state.u.shape, np.float32)
+    du[0, 0, 0] = force_yx[1] * fall
+    du[0, 1, 0] = force_yx[0] * fall
+    return state.replace(u=state.u + jnp.asarray(du))
+
+
+def density_to_rgb(density):
+    """density: (c, y, x) in [0, 1]; 1 or 3 channels -> (y, x, 3) uint8."""
+    d = np.asarray(density)
+    if d.shape[0] == 1:
+        d = np.repeat(d, 3, axis=0)
+    img = np.clip(d[:3], 0, 1).transpose(1, 2, 0)
+    return (img[::-1] * 255).astype(np.uint8)  # flip y for image coords
+
+
+def run(args):
+    res = args.res
+    if args.model:
+        mconf = load_mconf(args.model)
+        assert not mconf.is_3d, "demo2d needs a 2-D model"
+        tmpl = init_train_state(jax.random.PRNGKey(0), mconf)
+        tstate, mconf, _ = load_checkpoint(args.model, tmpl)
+        params = tstate.params
+        mconf = mconf.replace(sim_method="convnet")
+    else:
+        mconf = ModelConfig(is_3d=False, sim_method=args.sim_method)
+        params = None
+        if args.sim_method == "convnet":
+            params = init_train_state(jax.random.PRNGKey(0), mconf).params
+    mconf = mconf.replace(dt=args.dt, buoyancy_scale=1.0,
+                          vorticity_confinement_amp=args.vorticity,
+                          advection_method="maccormackOurs",
+                          max_iter=args.max_iter)
+
+    B, Z, Y, X = 1, 1, res, res
+    # RGB density like the reference demo's image-colored smoke.
+    rng = np.random.default_rng(0)
+    state = FluidState(
+        u=jnp.zeros((B, 2, Z, Y, X), jnp.float32),
+        p=jnp.zeros((B, 1, Z, Y, X), jnp.float32),
+        flags=empty_domain((B, 1, Z, Y, X), False),
+        density=jnp.zeros((B, 3, Z, Y, X), jnp.float32))
+    bcs = create_plume_bcs(state, [1.0, 0.8, 0.3], u_scale=0.6, rad=0.15)
+
+    def model_fn(pr, p, u, f):
+        return apply_model(pr, mconf, p, u, f)
+
+    step = jax.jit(lambda s: simulate(
+        s, mconf, model_fn if mconf.sim_method == "convnet" else None,
+        params, bcs))
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    t_start = time.perf_counter()
+    n_img = 0
+    for i in range(args.frames):
+        if args.splats and i % 40 == 20:
+            c = (rng.integers(res // 4, 3 * res // 4),
+                 rng.integers(res // 4, 3 * res // 4))
+            f = (rng.standard_normal() * 2, rng.standard_normal() * 2)
+            state = sphere_force_splat(state, c, f, radius=res / 10)
+        state = step(state)
+        if i % args.save_every == 0:
+            img = density_to_rgb(np.asarray(state.density)[0, :, 0])
+            write_png(os.path.join(args.out_dir, f"frame_{i:05d}.png"), img)
+            n_img += 1
+    jax.block_until_ready(state.u)
+    fps = args.frames / (time.perf_counter() - t_start)
+    print(f"demo2d: {args.frames} frames at {res}^2, {fps:.1f} fps "
+          f"({mconf.sim_method}); wrote {n_img} PNGs to {args.out_dir}")
+    return fps
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--frames", type=int, default=256)
+    ap.add_argument("--save_every", type=int, default=8)
+    ap.add_argument("--dt", type=float, default=0.1)
+    ap.add_argument("--vorticity", type=float, default=0.0)
+    ap.add_argument("--max_iter", type=int, default=34)
+    ap.add_argument("--sim_method", default="convnet",
+                    choices=["convnet", "jacobi", "pcg"])
+    ap.add_argument("--model", default="")
+    ap.add_argument("--splats", action="store_true",
+                    help="periodic scripted force splats")
+    ap.add_argument("--out_dir", default="data/output/demo2d")
+    run(ap.parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Training entry point.
+
+Equivalent of `qlua fluid_net_train.lua` (torch/fluid_net_train.lua):
+
+  python -m fluidnet_tpu.cli.train --dataset my_ds --model_filename m1 \\
+      --new_model.banks_num 2 --max_epochs 10
+
+- loads (or self-generates) the dataset,
+- builds/loads the model, startup-profiles FPROP time + analytic FLOPs,
+- runs train/test epochs with the unrolled long-term divergence loss,
+- checkpoints '<model>_lastEpoch' every epoch and '<model>' on best test
+  loss (fluid_net_train.lua:229-239), with TSV loss logging.
+"""
+
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fluidnet_tpu.core.config import default_conf, parse_args, save_parameters
+from fluidnet_tpu.data.dataset import FluidDataset, PrefetchLoader
+from fluidnet_tpu.data.generate import generate_dataset
+from fluidnet_tpu.sim.simulate import simulate  # noqa: F401 (stats path)
+from fluidnet_tpu.train.train import (eval_step, init_train_state,
+                                      sample_future_steps, train_step)
+from fluidnet_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from fluidnet_tpu.utils.flops import model_flops, model_peak_activation
+from fluidnet_tpu.utils.logger import Logger
+from fluidnet_tpu.utils.profiler import profile_fprop
+
+LOG_COLUMNS = ["epoch", "tr_loss", "tr_p", "tr_u", "tr_div", "tr_lt_div",
+               "te_loss", "te_p", "te_u", "te_div", "te_lt_div"]
+
+
+def _epoch(loader, state, mconf, key, py_rng, training, max_batches=0):
+    sums = {}
+    n = 0
+    for batch, _ in loader.epoch():
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k in ("p_div", "u_div", "flags", "p_target", "u_target",
+                           "density")}
+        n_future = (sample_future_steps(py_rng, mconf)
+                    if mconf.long_term_div_lambda > 0 else 0)
+        key, sub = jax.random.split(key)
+        if training:
+            state, terms = train_step(state, jbatch, sub, mconf, n_future)
+        else:
+            terms = eval_step(jbatch, state.params, sub, mconf, n_future)
+        loss = float(terms["total"])
+        if not np.isfinite(loss) or loss > 1e9:
+            raise RuntimeError(f"criterion error is NaN or > 1e9 ({loss})")
+        for k in ("total", "p", "u", "div", "long_term_div"):
+            sums[k] = sums.get(k, 0.0) + float(terms[k])
+        n += 1
+        if max_batches and n >= max_batches:
+            break
+    return state, {k: v / max(n, 1) for k, v in sums.items()}, key
+
+
+def run_training(conf, argv_done=True):
+    mconf = conf.new_model
+    np.random.seed(conf.seed)
+    py_rng = random.Random(conf.seed)
+    key = jax.random.PRNGKey(conf.seed)
+
+    # Dataset (self-generate a small one if missing — replaces mantaflow).
+    ds_root = os.path.join(conf.data_dir, conf.dataset)
+    if not os.path.isdir(ds_root):
+        print(f"==> Dataset {ds_root} not found; self-generating with the "
+              "PCG solver...")
+        generate_dataset(ds_root, n_tr=8, n_te=2, seed=conf.seed,
+                         size_xyz=(64, 64, 1), is_3d=False, n_frames=32)
+    tr = FluidDataset(conf.data_dir, conf.dataset, "tr",
+                      ignore_frames=conf.ignore_frames)
+    te = FluidDataset(conf.data_dir, conf.dataset, "te",
+                      ignore_frames=conf.ignore_frames)
+    mconf = mconf.replace(is_3d=tr.is_3d)
+    print(f"==> Dataset: {len(tr)} train / {len(te)} test samples "
+          f"({'3-D' if tr.is_3d else '2-D'})")
+
+    os.makedirs(conf.model_dir, exist_ok=True)
+    model_path = os.path.join(conf.model_dir, conf.model_filename)
+
+    key, init_key = jax.random.split(key)
+    state = init_train_state(init_key, mconf)
+    start_epoch = 0
+    best_loss = float("inf")
+    if conf.load_model and os.path.isdir(model_path + "_lastEpoch"):
+        state, mconf_loaded, extra = load_checkpoint(
+            model_path + "_lastEpoch", state)
+        if conf.resume_training:
+            # Keep training-only params from the fresh conf
+            # (torch.copyTrainingMconfParams, model.lua:499-523).
+            mconf = mconf_loaded.replace(
+                grad_norm_threshold=mconf.grad_norm_threshold,
+                loss_p_lambda=mconf.loss_p_lambda,
+                loss_u_lambda=mconf.loss_u_lambda,
+                loss_div_lambda=mconf.loss_div_lambda,
+                long_term_div_lambda=mconf.long_term_div_lambda,
+                long_term_div_probability=mconf.long_term_div_probability,
+                dt=mconf.dt, train_target_source=mconf.train_target_source)
+        else:
+            mconf = mconf_loaded
+        start_epoch = int(extra.get("epoch", 0))
+        best_loss = float(extra.get("best_loss", float("inf")))
+        print(f"==> Resumed from epoch {start_epoch}")
+
+    save_parameters(conf, model_path + "_conf.json")
+
+    # Startup profiling (fluid_net_train.lua:144-189).
+    if conf.profile:
+        sizes = (128, 128, 128 if mconf.is_3d else 1)
+        flops = model_flops(mconf, sizes)
+        peak = model_peak_activation(mconf, sizes)
+        sample = tr.get_batch([0])
+        from fluidnet_tpu.models.fluidnet import apply_model
+        fprop = jax.jit(lambda pr, p, u, f: apply_model(pr, mconf, p, u, f))
+        t = profile_fprop(fprop, (state.params, jnp.asarray(sample["p_div"]),
+                                  jnp.asarray(sample["u_div"]),
+                                  jnp.asarray(sample["flags"])),
+                          min_seconds=1.0)
+        print(f"==> Model FLOPs/frame @128: {flops:,}; peak activation "
+              f"elements: {peak:,}; FPROP {t * 1e3:.3f} ms/batch")
+
+    logger = Logger(model_path + "_log.tsv", LOG_COLUMNS)
+    tr_loader = PrefetchLoader(tr, conf.batch_size, conf.num_data_threads,
+                               shuffle=True, seed=conf.seed)
+    te_loader = PrefetchLoader(te, conf.batch_size, conf.num_data_threads,
+                               shuffle=False)
+    max_batches = (conf.max_samples_per_epoch // conf.batch_size
+                   if conf.max_samples_per_epoch else 0)
+
+    lr = mconf.optim.learning_rate
+    for epoch in range(start_epoch, conf.max_epochs):
+        for ep_at, mult in conf.lr_epoch_mults:
+            if epoch == ep_at:
+                lr *= mult
+                print(f"==> LR multiplier {mult} -> {lr}")
+        t0 = time.time()
+        if conf.train:
+            state, tr_m, key = _epoch(tr_loader, state, mconf, key, py_rng,
+                                      True, max_batches)
+        else:
+            tr_m = {k: 0.0 for k in ("total", "p", "u", "div",
+                                     "long_term_div")}
+        te_m = tr_m
+        if conf.eval_during_training:
+            _, te_m, key = _epoch(te_loader, state, mconf, key, py_rng,
+                                  False, max_batches)
+        dt_ep = time.time() - t0
+        print(f"epoch {epoch}: train {tr_m['total']:.4e} "
+              f"(div {tr_m['div']:.4e}, lt {tr_m['long_term_div']:.4e}) | "
+              f"test {te_m['total']:.4e} | {dt_ep:.1f}s")
+        logger.add([epoch, tr_m["total"], tr_m["p"], tr_m["u"], tr_m["div"],
+                    tr_m["long_term_div"], te_m["total"], te_m["p"],
+                    te_m["u"], te_m["div"], te_m["long_term_div"]])
+        extra = {"epoch": epoch + 1, "best_loss": best_loss}
+        save_checkpoint(model_path + "_lastEpoch", state, mconf, extra)
+        if te_m["total"] < best_loss:
+            best_loss = te_m["total"]
+            extra["best_loss"] = best_loss
+            save_checkpoint(model_path, state, mconf, extra)
+            print(f"    - new best test loss {best_loss:.4e}; saved "
+                  f"{model_path}")
+    return state, mconf
+
+
+def main(argv=None):
+    conf = parse_args(default_conf(), argv if argv is not None
+                      else sys.argv[1:])
+    run_training(conf)
+
+
+if __name__ == "__main__":
+    main()
