@@ -101,9 +101,9 @@ def run(args):
     def model_fn(pr, p, u, f):
         return apply_model(pr, mconf, p, u, f)
 
-    step = jax.jit(lambda s: simulate(
+    step = jax.jit(lambda s, prm, b: simulate(
         s, mconf, model_fn if mconf.sim_method == "convnet" else None,
-        params, bcs))
+        prm, b))
 
     os.makedirs(args.out_dir, exist_ok=True)
     t_start = time.perf_counter()
@@ -114,7 +114,7 @@ def run(args):
                  rng.integers(res // 4, 3 * res // 4))
             f = (rng.standard_normal() * 2, rng.standard_normal() * 2)
             state = sphere_force_splat(state, c, f, radius=res / 10)
-        state = step(state)
+        state = step(state, params, bcs)
         if i % args.save_every == 0:
             img = density_to_rgb(np.asarray(state.density)[0, :, 0])
             write_png(os.path.join(args.out_dir, f"frame_{i:05d}.png"), img)

@@ -77,9 +77,11 @@ def run(args):
     def model_fn(pr, p, u, f):
         return apply_model(pr, mconf, p, u, f)
 
-    step = jax.jit(lambda s: simulate(
+    # params/bcs as jit args (large closed-over arrays become XLA
+    # constants and destroy compile/run time).
+    step = jax.jit(lambda s, prm, b: simulate(
         s, mconf, model_fn if mconf.sim_method == "convnet" else None,
-        params, bcs))
+        prm, b))
 
     writers = {}
     if args.out_dir:
@@ -95,11 +97,11 @@ def run(args):
             gw.write_frame(occ.astype(np.float32))
 
     # Compile + first step outside timing.
-    state = step(state)
+    state = step(state, params, bcs)
     jax.block_until_ready(state.u)
     t0 = time.perf_counter()
     for i in range(1, args.num_frames):
-        state = step(state)
+        state = step(state, params, bcs)
         if "density" in writers and i % args.decimation == 0:
             writers["density"].write_frame(np.asarray(state.density)[0, 0])
     jax.block_until_ready(state.u)

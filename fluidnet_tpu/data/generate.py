@@ -137,11 +137,11 @@ def generate_run(out_dir, rng, size_xyz=(64, 64, 1), is_3d=False,
         state = state.replace(density=jnp.zeros_like(state.density))
         bcs = create_plume_bcs(state, [1.0], u_scale=scale, rad=0.15)
 
-    advance = jax.jit(lambda s: simulate(s, mconf, None, None, bcs,
-                                         output_div=True))
+    advance = jax.jit(lambda s, b: simulate(s, mconf, None, None, b,
+                                            output_div=True))
     max_res = 0.0
     for f in range(n_frames):
-        state = advance(state)               # divergent state
+        state = advance(state, bcs)          # divergent state
         if f % save_every == 0:
             _save(out_dir, f, state)
         projected, res = project_pcg(state, max_iter=max_iter)

@@ -22,7 +22,7 @@ def calc_stats(batches, mconf, model_fn=None, params=None, n_steps=128,
     """batches: iterable of batch dicts (p_target/u_target/flags/density...).
     Each sample restarts from the TARGET (projected) state like the
     reference (calc_stats.lua:99-118)."""
-    step = jax.jit(lambda s: simulate(s, mconf, model_fn, params))
+    step = jax.jit(lambda s, prm: simulate(s, mconf, model_fn, prm))
     div_norms = []
     for batch in batches:
         state = FluidState(u=jnp.asarray(batch["u_target"]),
@@ -33,7 +33,7 @@ def calc_stats(batches, mconf, model_fn=None, params=None, n_steps=128,
         b = state.u.shape[0]
         per_step = []
         for _ in range(n_steps):
-            state = step(state)
+            state = step(state, params)
             div = velocity_divergence(state.u, state.flags)
             norms = jnp.sqrt(jnp.sum(div.reshape(b, -1) ** 2, axis=1))
             per_step.append(np.asarray(norms))
