@@ -56,16 +56,19 @@ def main():
     # embeds them as XLA constants, which wrecks compile AND run time.
     step = jax.jit(lambda s, prm, b: simulate(s, mconf, model_fn, prm, b))
 
-    # Compile + warmup.
+    # Compile + warmup (materialize: see fence note below).
     state = step(state, params, bcs)
-    jax.block_until_ready(state.u)
+    _ = np.asarray(state.u[0, 0, 0, :4])
     state = step(state, params, bcs)
-    jax.block_until_ready(state.u)
+    _ = np.asarray(state.u[0, 0, 0, :4])
 
     t0 = time.perf_counter()
     for _ in range(N_STEPS):
         state = step(state, params, bcs)
-    jax.block_until_ready(state.u)
+    # Force a real device->host round trip: on this backend
+    # block_until_ready returns before execution finishes, so a tiny
+    # materialization is the only trustworthy fence.
+    _ = np.asarray(state.u[0, 0, 0, :4])
     dt = (time.perf_counter() - t0) / N_STEPS
     assert bool(np.isfinite(np.asarray(state.u)).all()), "sim blew up"
 

@@ -45,6 +45,9 @@ class ModelConfig:
     # Simulation.
     dt: float = 0.1
     advection_method: str = "maccormack"   # euler|maccormack|*Ours
+    # CFL window (cells) for the Pallas windowed-warp advection; 0 selects
+    # the exact gather path (reference-parity, ~100x slower on TPU).
+    advection_window: int = 2
     maccormack_strength: float = 0.75
     buoyancy_scale: float = 0.0
     gravity_scale: float = 0.0

@@ -266,13 +266,23 @@ def _maccormack_clamp_ours_scalar(dst, src, fwd, flags, fwd_pos,
 
 def advect_scalar(dt, s, u, flags, method="maccormackOurs",
                   sample_outside_fluid=False, maccormack_strength=0.75,
-                  boundary_width=1, max_trace_steps=8):
+                  boundary_width=1, max_trace_steps=8, window=None,
+                  free_space=None):
     """Advects scalar field `s` by MAC velocity `u`. Returns the new field.
 
     API mirrors tfluids.advectScalar (torch/tfluids/init.lua:89-149); pure
     (the reference optionally writes in place).
+
+    window: None -> exact gather path (reference-parity semantics);
+    an int W -> the CFL-windowed Pallas fast path (ops.advect_fast) with
+    displacements clamped to +-W cells.
     """
     assert method in METHODS, method
+    if window:
+        from fluidnet_tpu.ops.advect_fast import advect_scalar_fast
+        return advect_scalar_fast(dt, s, u, flags, method,
+                                  sample_outside_fluid, maccormack_strength,
+                                  window, free=free_space)
     del boundary_width  # Always 1, like every reference call site.
     is_3d = check_shapes(u, flags, s)
     border = border_mask(flags.shape, is_3d, 1)
@@ -423,10 +433,15 @@ def _maccormack_clamp_mac(dst, orig, fwd, u, flags, dt, is_3d):
 
 
 def advect_vel(dt, u, flags, method="maccormackOurs",
-               maccormack_strength=0.75, boundary_width=1, max_trace_steps=8):
+               maccormack_strength=0.75, boundary_width=1, max_trace_steps=8,
+               window=None, free_space=None):
     """Self-advects MAC velocity. API mirrors tfluids.advectVel
-    (torch/tfluids/init.lua:170-220)."""
+    (torch/tfluids/init.lua:170-220). `window` as in advect_scalar."""
     assert method in METHODS, method
+    if window:
+        from fluidnet_tpu.ops.advect_fast import advect_vel_fast
+        return advect_vel_fast(dt, u, flags, method, maccormack_strength,
+                               window, free=free_space)
     del boundary_width
     # RK2/RK3 fall back to maccormackOurs (tfluids.cc:799-802).
     if method in ("rk2Ours", "rk3Ours"):

@@ -1,0 +1,342 @@
+"""Windowed (Pallas-accelerated) advection — the production TPU path.
+
+Same method set as ops.advect (euler/maccormack Manta semantics + the
+"Ours" variants), re-expressed on the CFL-bounded windowed-warp kernel
+(ops.pallas.warp) so no arbitrary gathers remain:
+
+  - every interpolation is a warp_trilinear / warp_fluid kernel call;
+  - the geometry-aware line trace (generic/calc_line_trace.cc) becomes a
+    Chebyshev free-space clamp: displacement is scaled so the backtrace
+    endpoint provably stays out of non-fluid cells (a conservative,
+    branch-free equivalent of the reference's cell-by-cell ray march —
+    rays stop at the free-space radius instead of the exact wall hit);
+  - MacCormack clamp bounds come from precomputed pairwise-corner min/max
+    fields + one windowed cell gather (instead of 16 scattered reads,
+    third_party/tfluids.cc:249-325);
+  - fluid-aware sampling uses mask-renormalized trilinear interpolation
+    (see warp_fluid) instead of the pairwise cascade.
+
+Deviations from bit-exact reference semantics (all CFL-bounded; the exact
+gather path in ops.advect remains available via window=None):
+  1. displacements are clamped to +-(window-eps) cells (a CFL limiter);
+  2. "Ours" boundary handling clamps at the Chebyshev free-space radius;
+  3. fluid-aware interpolation renormalizes rather than cascades.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from fluidnet_tpu.core.celltype import is_fluid, is_obstacle
+from fluidnet_tpu.core.grids import border_mask, check_shapes
+from fluidnet_tpu.ops import stencil as st
+from fluidnet_tpu.ops.forces import get_centered
+from fluidnet_tpu.ops.interp import (cell_center_positions, get_at_mac_x,
+                                     get_at_mac_y, get_at_mac_z)
+from fluidnet_tpu.ops.pallas.warp import (clamp_displacement, gather_cells,
+                                          warp_fluid, warp_group,
+                                          warp_trilinear,
+                                          warp_trilinear_shared)
+
+_EPS = 1e-3
+
+
+def _positions(shape, b, dtype=jnp.float32):
+    px, py, pz = cell_center_positions(shape, dtype)
+    bx = jnp.broadcast_to(px, (b,) + px.shape[1:])
+    by = jnp.broadcast_to(py, (b,) + py.shape[1:])
+    bz = jnp.broadcast_to(pz, (b,) + pz.shape[1:])
+    return bx, by, bz
+
+
+def chebyshev_free_space(flags, max_d: int):
+    """Chebyshev distance (in cells, capped at max_d) from each cell to the
+    nearest non-fluid cell, via iterated 3^d max-filter dilation of the
+    blocked mask. D(c) >= 1 for fluid cells; a position within the open
+    cube of half-width D - 0.5 around c's center cannot lie in a non-fluid
+    cell."""
+    is_3d = flags.shape[2] > 1
+    blocked = (~is_fluid(flags)).astype(jnp.float32)
+
+    def dilate(m):
+        for ax in ([st.AX_Z, st.AX_Y, st.AX_X] if is_3d
+                   else [st.AX_Y, st.AX_X]):
+            m = jnp.maximum(m, jnp.maximum(st.shift(m, -1, ax, 1.0),
+                                           st.shift(m, 1, ax, 1.0)))
+        return m
+
+    d = jnp.where(blocked > 0.5, 0.0, float(max_d))
+    m = blocked
+    for k in range(1, max_d):
+        m = dilate(m)
+        d = jnp.minimum(d, jnp.where(m > 0.5, float(k), float(max_d)))
+    return d
+
+
+def _trace_clamp(flags, dx, dy, dz, window, free=None):
+    """The fast 'line trace': scales displacement so the endpoint stays in
+    free space (replaces calcLineTrace for the Ours variants)."""
+    if free is None:
+        free = chebyshev_free_space(flags, window + 1)
+    allowed = jnp.maximum(free[:, 0] - 0.5 - _EPS, 0.0)
+    mag = jnp.maximum(jnp.maximum(jnp.abs(dx), jnp.abs(dy)), jnp.abs(dz))
+    scale = jnp.minimum(1.0, allowed / jnp.maximum(mag, 1e-12))
+    return dx * scale, dy * scale, dz * scale
+
+
+# -----------------------------------------------------------------------------
+# Scalar advection.
+# -----------------------------------------------------------------------------
+
+def _euler_pos_scalar(s, u, flags, dt, is_3d, W, ours, free=None):
+    b = s.shape[0]
+    cent = get_centered(u, is_3d)
+    dx, dy, dz = -dt * cent[:, 0], -dt * cent[:, 1], -dt * cent[:, 2]
+    if ours:
+        dx, dy, dz = _trace_clamp(flags, dx, dy, dz, W, free)
+    dx, dy, dz = clamp_displacement(dx, dy, dz, W)
+    px, py, pz = _positions(s.shape, b, s.dtype)
+    return px + dx, py + dy, pz + dz
+
+
+def _sample_scalar_fast(s, flags, px, py, pz, sample_outside_fluid, W):
+    if sample_outside_fluid:
+        return warp_trilinear_shared(s, px, py, pz, window=W)
+    return warp_fluid(s, flags, px, py, pz, window=W)
+
+
+def _corner_minmax_fields(src, is_3d):
+    """Pairwise 2x2x2 corner min/max: mn2(c) = min over src[c + {0,1}^d]
+    (the corner set doClampComponent scans, tfluids.cc:263-287)."""
+    mn = jnp.minimum(src, st.xp(src, jnp.inf))
+    mx = jnp.maximum(src, st.xp(src, -jnp.inf))
+    mn = jnp.minimum(mn, st.yp(mn, jnp.inf))
+    mx = jnp.maximum(mx, st.yp(mx, -jnp.inf))
+    if is_3d:
+        mn = jnp.minimum(mn, st.zp(mn, jnp.inf))
+        mx = jnp.maximum(mx, st.zp(mx, -jnp.inf))
+    return mn, mx
+
+
+def _clamp_lookup_cells(vel_x, vel_y, vel_z, sign, shape, is_3d, W,
+                        grid_upper):
+    """Integer base-corner cells for the clamp lookups: clamp(trunc(i +
+    sign*vel), 0, gridUpper-1), additionally window-limited."""
+    Z, Y, X = shape[2:]
+    b = vel_x.shape[0]
+    import jax as _jax
+    ii = _jax.lax.broadcasted_iota(jnp.int32, (1, Z, Y, X), 3)
+    jj = _jax.lax.broadcasted_iota(jnp.int32, (1, Z, Y, X), 2)
+    kk = _jax.lax.broadcasted_iota(jnp.int32, (1, Z, Y, X), 1)
+
+    def one(iidx, v, n):
+        p = iidx.astype(v.dtype) + sign * v
+        c = jnp.trunc(p).astype(jnp.int32)
+        c = jnp.clip(c, iidx - W, iidx + W)     # windowed-gather contract
+        return jnp.clip(c, 0, n - 2)
+    cx = one(ii, vel_x, X)
+    cy = one(jj, vel_y, Y)
+    if is_3d:
+        cz = one(kk, vel_z, Z)
+    else:
+        cz = jnp.zeros_like(cx)
+    return cx, cy, cz
+
+
+def _lookup_bad(vel_x, vel_y, vel_z, flags, is_3d, W):
+    """Out-of-grid / into-obstacle test for the Manta clamp reverts
+    (tfluids.cc:304-322), both lookup directions."""
+    Z, Y, X = flags.shape[2:]
+    import jax as _jax
+    ii = _jax.lax.broadcasted_iota(jnp.float32, (1, Z, Y, X), 3)
+    jj = _jax.lax.broadcasted_iota(jnp.float32, (1, Z, Y, X), 2)
+    kk = _jax.lax.broadcasted_iota(jnp.float32, (1, Z, Y, X), 1)
+    ob = is_obstacle(flags).astype(jnp.float32)
+    bad = None
+    for sign in (-1.0, 1.0):
+        px = jnp.trunc(ii + 0.5 + sign * vel_x).astype(jnp.int32)
+        py = jnp.trunc(jj + 0.5 + sign * vel_y).astype(jnp.int32)
+        pz = jnp.trunc(kk + 0.5 + sign * vel_z).astype(jnp.int32)
+        oob = (px < 0) | (py < 0) | (px > X - 1) | (py > Y - 1)
+        if is_3d:
+            oob = oob | (pz < 0) | (pz > Z - 1)
+        cx = jnp.clip(px, ii.astype(jnp.int32) - W, ii.astype(jnp.int32) + W)
+        cy = jnp.clip(py, jj.astype(jnp.int32) - W, jj.astype(jnp.int32) + W)
+        cz = jnp.clip(pz, kk.astype(jnp.int32) - W, kk.astype(jnp.int32) + W)
+        cx = jnp.clip(cx, 0, X - 1)
+        cy = jnp.clip(cy, 0, Y - 1)
+        cz = jnp.clip(cz, 0, Z - 1) if is_3d else jnp.zeros_like(cx)
+        obs = gather_cells(ob, cx, cy, cz, window=W)[:, 0] > 0.5
+        this = oob | (~oob & obs)
+        bad = this if bad is None else (bad | this)
+    return bad
+
+
+def advect_scalar_fast(dt, s, u, flags, method, sample_outside_fluid,
+                       maccormack_strength, window, free=None):
+    is_3d = check_shapes(u, flags, s)
+    W = int(window)
+    border = border_mask(flags.shape, is_3d, 1)
+    zero = jnp.zeros_like(s)
+    fl = is_fluid(flags)
+
+    def apply_border(x):
+        return jnp.where(border, zero, x)
+
+    ours = method.endswith("Ours")
+    if ours and free is None:
+        free = chebyshev_free_space(flags, W + 1)
+
+    if method in ("euler", "eulerOurs", "rk2Ours", "rk3Ours"):
+        # rk2/rk3 fast variants reduce to the clamped Euler backtrace: the
+        # intermediate velocity samples shift positions by O(dt^2) within
+        # the already-clamped window; the free-space clamp supplies the
+        # boundary handling the RK restarts existed for.
+        px, py, pz = _euler_pos_scalar(s, u, flags, dt, is_3d, W, ours, free)
+        val = _sample_scalar_fast(s, flags, px, py, pz,
+                                  sample_outside_fluid or not ours, W)
+        if ours:
+            val = jnp.where(fl, val, s)
+        return apply_border(val)
+
+    # MacCormack variants.
+    px, py, pz = _euler_pos_scalar(s, u, flags, dt, is_3d, W, ours, free)
+    fwd_full = _sample_scalar_fast(s, flags, px, py, pz,
+                                   sample_outside_fluid or not ours, W)
+    if ours:
+        fwd_full = jnp.where(fl, fwd_full, s)
+    fwd = apply_border(fwd_full)
+    bx, by, bz = _euler_pos_scalar(fwd, u, flags, -dt, is_3d, W, ours, free)
+    bwd_full = _sample_scalar_fast(fwd, flags, bx, by, bz,
+                                   sample_outside_fluid or not ours, W)
+    if ours:
+        bwd_full = jnp.where(fl, bwd_full, fwd)
+    bwd = apply_border(bwd_full)
+    dst = fwd + jnp.where(fl, maccormack_strength * 0.5 * (s - bwd), 0.0)
+
+    if method == "maccormack":
+        # Manta clamp: corner min/max around both lookups + revert tests.
+        cent = get_centered(u, is_3d)
+        vx, vy, vz = cent[:, 0] * dt, cent[:, 1] * dt, cent[:, 2] * dt
+        mn2, mx2 = _corner_minmax_fields(s, is_3d)
+        packed = jnp.concatenate([mn2, mx2], axis=1)
+        mn = mx = None
+        for sign in (-1.0, 1.0):
+            cx, cy, cz = _clamp_lookup_cells(vx, vy, vz, sign, flags.shape,
+                                             is_3d, W, None)
+            g = gather_cells(packed, cx, cy, cz, window=W)
+            mn = g[:, 0:1] if mn is None else jnp.minimum(mn, g[:, 0:1])
+            mx = g[:, 1:2] if mx is None else jnp.maximum(mx, g[:, 1:2])
+        clamped = jnp.clip(dst, mn, mx)
+        bad = _lookup_bad(vx, vy, vz, flags, is_3d, W)[:, None]
+        clamped = jnp.where(bad, fwd, clamped)
+        return jnp.where(border, dst, clamped)
+
+    # maccormackOurs clamp: windowed min/max/count around the fwd position
+    # (the separable-filter formulation of getClampBounds). Non-fluid cells
+    # record their own centers as fwd positions (tfluids.cc:157-160).
+    cpx, cpy, cpz = _positions(s.shape, s.shape[0], s.dtype)
+    px = jnp.where(fl[:, 0], px, cpx)
+    py = jnp.where(fl[:, 0], py, cpy)
+    pz = jnp.where(fl[:, 0], pz, cpz)
+    from fluidnet_tpu.ops.advect import _window_minmax_count
+    mn_f, mx_f, cnt_f = _window_minmax_count(s, flags, sample_outside_fluid,
+                                             is_3d)
+    packed = jnp.stack([mn_f, mx_f, cnt_f], axis=1)
+    Z, Y, X = flags.shape[2:]
+    i0 = jnp.clip(px.astype(jnp.int32), 0, X - 1)
+    j0 = jnp.clip(py.astype(jnp.int32), 0, Y - 1)
+    k0 = jnp.clip(pz.astype(jnp.int32), 0, Z - 1) if is_3d \
+        else jnp.zeros_like(i0)
+    g = gather_cells(packed, i0, j0, k0, window=W)
+    have = g[:, 2:3] >= 1.0
+    clamped = jnp.where(have, jnp.clip(dst, g[:, 0:1], g[:, 1:2]), fwd)
+    return jnp.where(border, dst, clamped)
+
+
+# -----------------------------------------------------------------------------
+# MAC velocity self-advection.
+# -----------------------------------------------------------------------------
+
+def _mac_positions(u, flags, dt, is_3d, W, ours, free=None):
+    """Per-component backtrace positions (b, c, z, y, x)."""
+    b = u.shape[0]
+    macs = [get_at_mac_x(u, is_3d), get_at_mac_y(u, is_3d)]
+    if is_3d:
+        macs.append(get_at_mac_z(u, is_3d))
+    px, py, pz = _positions(u.shape, b, u.dtype)
+    pxs, pys, pzs = [], [], []
+    for mac in macs:
+        dx, dy, dz = -dt * mac[:, 0], -dt * mac[:, 1], -dt * mac[:, 2]
+        if ours:
+            dx, dy, dz = _trace_clamp(flags, dx, dy, dz, W, free)
+        dx, dy, dz = clamp_displacement(dx, dy, dz, W)
+        pxs.append(px + dx)
+        pys.append(py + dy)
+        pzs.append(pz + dz)
+    return (jnp.stack(pxs, 1), jnp.stack(pys, 1), jnp.stack(pzs, 1)), macs
+
+
+def advect_vel_fast(dt, u, flags, method, maccormack_strength, window,
+                    free=None):
+    is_3d = check_shapes(u, flags)
+    W = int(window)
+    if method in ("rk2Ours", "rk3Ours"):
+        method = "maccormackOurs"  # tfluids.cc:799-802
+    border = border_mask(flags.shape, is_3d, 1)
+    zero = jnp.zeros_like(u)
+    fl = is_fluid(flags)
+    ours = method.endswith("Ours")
+    if ours and free is None:
+        free = chebyshev_free_space(flags, W + 1)
+
+    def apply_border(x):
+        return jnp.where(border, zero, x)
+
+    def sl(src, dt_):
+        (px, py, pz), _ = _mac_positions(u, flags, dt_, is_3d, W, ours, free)
+        out = warp_trilinear(src, px, py, pz, window=W)
+        if ours:
+            out = jnp.where(fl, out, src)
+        return out
+
+    if method in ("euler", "eulerOurs"):
+        return apply_border(sl(u, dt))
+
+    fwd = apply_border(sl(u, dt))
+    bwd = apply_border(sl(fwd, -dt))
+    from fluidnet_tpu.ops.advect import _maccormack_correct_mac
+    dst = _maccormack_correct_mac(u, fwd, bwd, flags, maccormack_strength,
+                                  is_3d)
+
+    # MacCormackClampMAC: per-component corner min/max around both lookups.
+    macs = [get_at_mac_x(u, is_3d), get_at_mac_y(u, is_3d)]
+    if is_3d:
+        macs.append(get_at_mac_z(u, is_3d))
+    C = u.shape[1]
+    pairs = []
+    for c in range(C):
+        mn2, mx2 = _corner_minmax_fields(u[:, c:c + 1], is_3d)
+        pairs.append(jnp.concatenate([mn2, mx2], axis=1))
+    packed = jnp.stack(pairs, axis=1)  # (b, C groups, 2, z, y, x)
+    mn = mx = None
+    for sign in (-1.0, 1.0):
+        cxs, cys, czs = [], [], []
+        for c, mac in enumerate(macs):
+            cx, cy, cz = _clamp_lookup_cells(
+                mac[:, 0] * dt, mac[:, 1] * dt, mac[:, 2] * dt, sign,
+                flags.shape, is_3d, W, None)
+            cxs.append(cx)
+            cys.append(cy)
+            czs.append(cz)
+        # One grouped nearest gather: the (mn, mx) pair of each component
+        # shares its lookup cell, and nearest mode needs (2W+1)^3 indicator
+        # taps instead of (2W+2)^3 trilinear ones.
+        pxc = jnp.stack(cxs, 1).astype(jnp.float32) + 0.5
+        pyc = jnp.stack(cys, 1).astype(jnp.float32) + 0.5
+        pzc = jnp.stack(czs, 1).astype(jnp.float32) + 0.5
+        g = warp_group(packed, pxc, pyc, pzc, window=W, nearest=True)
+        g_mn, g_mx = g[:, :, 0], g[:, :, 1]
+        mn = g_mn if mn is None else jnp.minimum(mn, g_mn)
+        mx = g_mx if mx is None else jnp.maximum(mx, g_mx)
+    clamped = jnp.clip(dst, mn, mx)
+    return jnp.where(border, dst, clamped)

@@ -3,7 +3,7 @@
 The reference's semi-Lagrangian backtrace + trilinear interpolation is a
 per-cell arbitrary gather (third_party/tfluids.cc advection kernels).
 XLA:TPU executes such gathers at ~20 ns per element (measured on this
-chip: one full 128^3 interpolation = ~350 ms via jnp gathers) — the #1
+chip: one full 128^3 trilinear interp = ~350 ms via jnp gathers) — the #1
 risk SURVEY.md §7 called out.
 
 This kernel exploits the physics: the backtrace displacement is bounded by
@@ -14,19 +14,27 @@ the (2W+2)^3 window offsets, with per-axis folded corner weights
     out = sum_o  src[z+oz, y+oy, x+ox] * wz(oz) * wy(oy) * wx(ox)
     wx(ox) = s0 * [xi == x+ox] + s1 * [xi == x+ox-1]        (etc.)
 
-evaluated entirely in VMEM with lane/sublane rolls — no gathers at all.
-Measured: ~1 ms device time per 128^3 interpolation (350x over the gather
+evaluated entirely in VMEM with lane/sublane rolls — no gathers at all
+(~1 ms device time per 128^3 interpolation, ~350x over the gather
 formulation).
 
-Grid: one program per (batch*channel, z-slice). The source field stays in
-HBM (`pl.ANY`); each program DMAs its (2W+2, Y, X) z-window into VMEM
-scratch (pallas_guide.md Async DMA pattern). Positions use BUILD_INDEX
-semantics (grid.cc:82-130) including the domain-border clamps, so results
-are bit-comparable with ops.interp.interpol for in-window positions.
+Kernel layout: fields are grouped (b, G, F, Z, Y, X) — the F channels of a
+group share one position set, so the (expensive) weight field is computed
+once per group and reused across channels. Call sites map onto this:
 
-Weight identity at the window edge guarantees correctness of the circular
-rolls: corner indices xi are clamped into [x-W, x+W+1] by construction
-(callers clamp displacements), so wrapped lanes always carry zero weight.
+  warp_trilinear          G=c, F=1   (per-channel positions: MAC advection)
+  warp_trilinear_shared   G=1, F=c   (shared positions: scalar advection)
+  gather_cells            G=1, F=c, nearest mode (clamp-bound lookups)
+
+Grid: one program per (b*G, z-slice). The source stays in HBM (pl.ANY);
+each program DMAs its (F, 2W+2, Y, X) z-window into VMEM scratch
+(pallas_guide.md Async DMA pattern). Positions follow BUILD_INDEX
+semantics (grid.cc:82-130) including domain-border clamps, so results are
+bit-comparable with ops.interp.interpol for in-window positions.
+
+Correctness of the circular rolls at block edges: corner indices are
+clamped into the window by callers (clamp_displacement), so wrapped lanes
+always carry zero weight.
 """
 
 import functools
@@ -39,10 +47,17 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_WINDOW = 2
 
 
-def _axis_weights(p, n_idx, iota, W):
-    """BUILD_INDEX per-axis: returns (idx, list of folded corner weights for
-    offsets -W..W+1). p is the axis position minus 0.5; clamps follow
-    grid.cc:97-129."""
+def _interpret():
+    return jax.default_backend() == "cpu"
+
+
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
+def _corner_weights(p, n_idx, iota, W):
+    """BUILD_INDEX (grid.cc:82-130) folded corner weights for offsets
+    -W..W+1. p = position - 0.5; n_idx = true domain extent."""
     i = jnp.floor(p).astype(jnp.int32)
     w1 = p - i.astype(p.dtype)
     w0 = 1.0 - w1
@@ -54,132 +69,248 @@ def _axis_weights(p, n_idx, iota, W):
     i = jnp.where(hi, n_idx - 2, i)
     w0 = jnp.where(hi, 0.0, w0)
     w1 = jnp.where(hi, 1.0, w1)
-    ws = []
-    for o in range(-W, W + 2):
-        ws.append(w0 * (i == iota + o) + w1 * (i == iota + o - 1))
-    return ws
+    return [w0 * (i == iota + o) + w1 * (i == iota + o - 1)
+            for o in range(-W, W + 2)]
 
 
-def _warp_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch, sem, *,
-                 W, Z, Y, X, Yt, Xt, C):
-    # Z/Y/X are padded block sizes; Yt/Xt the true domain extents used by
-    # the BUILD_INDEX border clamps (grid.cc:113-129).
-    bc = pl.program_id(0)
+def _nearest_weights(p, n_idx, iota, W):
+    """Single-cell indicator weights (offsets -W..W) for integer gathers:
+    the cell index is trunc(p - 0.5 + 0.5) == floor(p) for cell-center
+    positions produced by gather_cells."""
+    i = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, n_idx - 1)
+    return [(i == iota + o).astype(p.dtype) for o in range(-W, W + 1)]
+
+
+def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
+                       sem, *, W, Z, Y, X, Yt, Xt, F, nearest):
+    # Z/Y/X: padded block sizes; Yt/Xt: true domain extents for the
+    # BUILD_INDEX border clamps; F channels share this program's positions.
+    bg = pl.program_id(0)
     k = pl.program_id(1)
-    noff = 2 * W + 2
+    noff = (2 * W + 1) if nearest else (2 * W + 2)
+    off_lo = -W
 
-    # DMA the z-window [k-W, k+W+1] (of the z-padded source) into VMEM.
     dma = pltpu.make_async_copy(
-        src_hbm.at[bc, pl.ds(k, noff)], scratch, sem)
+        src_hbm.at[bg, :, pl.ds(k, noff)], scratch, sem)
     dma.start()
 
-    px = px_ref[0, 0, 0] - 0.5
-    py = py_ref[0, 0, 0] - 0.5
-    pz = pz_ref[0, 0, 0] - 0.5
+    px = px_ref[0, 0] - 0.5
+    py = py_ref[0, 0] - 0.5
+    pz = pz_ref[0, 0] - 0.5
     ii = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
 
-    wx = _axis_weights(px, Xt, ii, W)
-    wy = _axis_weights(py, Yt, jj, W)
-    # z weights: scalar offset comparison against this slice's k.
-    zi = jnp.floor(pz).astype(jnp.int32)
-    f1 = pz - zi.astype(pz.dtype)
-    f0 = 1.0 - f1
-    negz = pz < 0.0
-    zi = jnp.where(negz, 0, zi)
-    f0z = jnp.where(negz, 1.0, f0)
-    f1z = jnp.where(negz, 0.0, f1)
-    if Z > 1:
-        hiz = zi >= Z - 1
-        zi = jnp.where(hiz, Z - 2, zi)
-        f0z = jnp.where(hiz, 0.0, f0z)
-        f1z = jnp.where(hiz, 1.0, f1z)
+    if nearest:
+        wx = _nearest_weights(px, Xt, ii, W)
+        wy = _nearest_weights(py, Yt, jj, W)
+        zidx = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0,
+                        max(Z - 1, 0)) if Z > 1 else jnp.zeros_like(ii)
+        wz_list = [(zidx == k + o).astype(px.dtype)
+                   for o in range(-W, W + 1)] if Z > 1 else \
+                  [jnp.full((Y, X), 1.0 if o == 0 else 0.0, px.dtype)
+                   for o in range(-W, W + 1)]
     else:
-        f0z = jnp.ones_like(f0z)
-        f1z = jnp.zeros_like(f1z)
-        zi = jnp.zeros_like(zi)
+        wx = _corner_weights(px, Xt, ii, W)
+        wy = _corner_weights(py, Yt, jj, W)
+        if Z > 1:
+            zi = jnp.floor(pz).astype(jnp.int32)
+            f1 = pz - zi.astype(pz.dtype)
+            f0 = 1.0 - f1
+            negz = pz < 0.0
+            zi = jnp.where(negz, 0, zi)
+            f0 = jnp.where(negz, 1.0, f0)
+            f1 = jnp.where(negz, 0.0, f1)
+            hiz = zi >= Z - 1
+            zi = jnp.where(hiz, Z - 2, zi)
+            f0 = jnp.where(hiz, 0.0, f0)
+            f1 = jnp.where(hiz, 1.0, f1)
+            wz_list = [f0 * (zi == k + o) + f1 * (zi == k + o - 1)
+                       for o in range(-W, W + 2)]
+        else:
+            wz_list = [jnp.full((Y, X), 1.0 if o == 0 else 0.0, px.dtype)
+                       for o in range(-W, W + 2)]
 
     dma.wait()
 
-    acc = jnp.zeros((Y, X), jnp.float32)
+    accs = [jnp.zeros((Y, X), jnp.float32) for _ in range(F)]
     for ozi in range(noff):
-        oz = ozi - W
-        wz = f0z * (zi == k + oz) + f1z * (zi == k + oz - 1)
-        sz = scratch[ozi]
-        for oyi, oy in enumerate(range(-W, W + 2)):
+        wz = wz_list[ozi]
+        for oyi, oy in enumerate(range(off_lo, off_lo + noff)):
             wzy = wz * wy[oyi]
-            szy = pltpu.roll(sz, (-oy) % Y, 0) if Y > 1 else sz
-            for oxi, ox in enumerate(range(-W, W + 2)):
-                acc = acc + pltpu.roll(szy, (-ox) % X, 1) * (wzy * wx[oxi])
-    out_ref[0, 0, 0] = acc
+            rolled = [pltpu.roll(scratch[f, ozi], (-oy) % Y, 0) if Y > 1
+                      else scratch[f, ozi] for f in range(F)]
+            for oxi, ox in enumerate(range(off_lo, off_lo + noff)):
+                wfull = wzy * wx[oxi]
+                for f in range(F):
+                    accs[f] = accs[f] + \
+                        pltpu.roll(rolled[f], (-ox) % X, 1) * wfull
+    for f in range(F):
+        out_ref[0, f, 0] = accs[f]
 
 
-def _interpret():
-    return jax.default_backend() == "cpu"
+# --- differentiation -----------------------------------------------------
+# The warp is linear in `fields` with weights fixed by the positions, so
+# its VJP is the transposed windowed scatter, computed in plain XLA (the
+# Pallas kernel itself is not differentiable). Positions get zero
+# cotangents — matching the reference, whose backtraces are treated as
+# constants in every hand-written adjoint.
+
+def _weights_xla(p, iota, n_idx, W, nearest):
+    p = p - 0.5
+    if nearest:
+        i = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, n_idx - 1)
+        return [(i == iota + o).astype(p.dtype) for o in range(-W, W + 1)]
+    i = jnp.floor(p).astype(jnp.int32)
+    w1 = p - i.astype(p.dtype)
+    w0 = 1.0 - w1
+    neg = p < 0.0
+    i = jnp.where(neg, 0, i)
+    w0 = jnp.where(neg, 1.0, w0)
+    w1 = jnp.where(neg, 0.0, w1)
+    hi = i >= n_idx - 1
+    i = jnp.where(hi, n_idx - 2, i)
+    w0 = jnp.where(hi, 0.0, w0)
+    w1 = jnp.where(hi, 1.0, w1)
+    return [w0 * (i == iota + o) + w1 * (i == iota + o - 1)
+            for o in range(-W, W + 2)]
 
 
-def _round_up(v, m):
-    return (v + m - 1) // m * m
+def _shiftn(a, off, axis):
+    """shift with zero fill: out[i] = a[i + off]."""
+    from fluidnet_tpu.ops.stencil import shift
+    return shift(a, off, axis)
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
-def warp_trilinear(fields, px, py, pz, window: int = DEFAULT_WINDOW):
-    """Trilinear interpolation of `fields` at per-channel positions.
-
-    fields: (b, c, Z, Y, X); px/py/pz: (b, c, z, y, x) absolute Manta grid
-    coordinates (cell centers at integer+0.5). Corner indices must lie
-    within +-window of each output cell (clamp displacements first; see
-    clamp_displacement). Returns (b, c, Z, Y, X).
-    """
+def _warp_transpose_xla(g, px, py, pz, window, nearest, ZYX):
+    """grad_fields(s) = sum_o shift(g * w_o, -o): the adjoint scatter."""
     W = int(window)
-    b, c, Z, Y, X = fields.shape
-    assert px.shape == (b, c, Z, Y, X), (px.shape, fields.shape)
+    Z, Y, X = ZYX
+    b, G = px.shape[:2]
+    sh = px.shape
+    ix = jax.lax.broadcasted_iota(jnp.int32, sh, 4)
+    iy = jax.lax.broadcasted_iota(jnp.int32, sh, 3)
+    iz = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
+    wx = _weights_xla(px, ix, X, W, nearest)
+    wy = _weights_xla(py, iy, Y, W, nearest)
+    if Z > 1:
+        wz = _weights_xla(pz, iz, Z, W, nearest)
+    else:
+        n = len(wx)
+        wz = [jnp.full(sh, 1.0 if o == W else 0.0, px.dtype)
+              for o in range(n)]
+    off_lo = -W
+    grad = jnp.zeros_like(g)
+    for ozi, wzo in enumerate(wz):
+        for oyi, wyo in enumerate(wy):
+            wzy = wzo * wyo
+            for oxi, wxo in enumerate(wx):
+                w = (wzy * wxo)[:, :, None]        # broadcast over F
+                t = g * w
+                oz, oy, ox = off_lo + ozi, off_lo + oyi, off_lo + oxi
+                if oz and Z > 1:
+                    t = _shiftn(t, -oz, -3)
+                if oy:
+                    t = _shiftn(t, -oy, -2)
+                if ox:
+                    t = _shiftn(t, -ox, -1)
+                grad = grad + t
+    return grad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _warp_group(fields, px, py, pz, window, nearest):
+    return _warp_group_impl(fields, px, py, pz, window, nearest)
+
+
+def _warp_group_fwd(fields, px, py, pz, window, nearest):
+    out = _warp_group_impl(fields, px, py, pz, window, nearest)
+    return out, (px, py, pz, fields.shape[3:])
+
+
+def _warp_group_bwd(window, nearest, res, g):
+    px, py, pz, ZYX = res
+    grad_fields = _warp_transpose_xla(g, px, py, pz, window, nearest, ZYX)
+    return (grad_fields, jnp.zeros_like(px), jnp.zeros_like(py),
+            jnp.zeros_like(pz))
+
+
+_warp_group.defvjp(_warp_group_fwd, _warp_group_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "nearest"))
+def _warp_group_impl(fields, px, py, pz, window, nearest):
+    """fields: (b, G, F, Z, Y, X); positions (b, G, Z, Y, X) shared by the
+    F channels of each group. Returns (b, G, F, Z, Y, X)."""
+    W = int(window)
+    b, G, F, Z, Y, X = fields.shape
+    assert px.shape == (b, G, Z, Y, X)
     # Mosaic VMEM slices must be (8, 128)-tile aligned: pad y/x up. Padded
     # cells compute garbage that is sliced away; padded positions default
     # to in-range cell centers so the weight math stays finite.
     Xp, Yp = _round_up(X, 128), _round_up(Y, 8)
     if (Xp, Yp) != (X, Y):
-        pads = ((0, 0), (0, 0), (0, 0), (0, Yp - Y), (0, Xp - X))
-        fields = jnp.pad(fields, pads)
-        px = jnp.pad(px, pads, constant_values=0.5)
-        py = jnp.pad(py, pads, constant_values=0.5)
-        pz = jnp.pad(pz, pads, constant_values=0.5)
-    out = _warp_call(fields, px, py, pz, W, b, c, Z, Yp, Xp, Y, X)
-    return out[..., :Y, :X]
+        fpads = ((0, 0),) * 4 + ((0, Yp - Y), (0, Xp - X))
+        ppads = ((0, 0),) * 3 + ((0, Yp - Y), (0, Xp - X))
+        fields = jnp.pad(fields, fpads)
+        px = jnp.pad(px, ppads, constant_values=0.5)
+        py = jnp.pad(py, ppads, constant_values=0.5)
+        pz = jnp.pad(pz, ppads, constant_values=0.5)
 
+    noff = (2 * W + 1) if nearest else (2 * W + 2)
+    zpad = (W, noff - W)
+    srcp = jnp.pad(fields, ((0, 0), (0, 0), (0, 0), zpad, (0, 0), (0, 0)))
+    srcp = srcp.reshape(b * G, F, Z + zpad[0] + zpad[1], Yp, Xp)
+    pxr = px.reshape(b * G, Z, Yp, Xp)
+    pyr = py.reshape(b * G, Z, Yp, Xp)
+    pzr = pz.reshape(b * G, Z, Yp, Xp)
 
-def _warp_call(fields, px, py, pz, W, b, c, Z, Y, X, Yt, Xt):
-    noff = 2 * W + 2
-    # Pad z so every window DMA is in range; padded values carry zero weight.
-    srcp = jnp.pad(fields, ((0, 0), (0, 0), (W, W + 2), (0, 0), (0, 0)))
-    srcp = srcp.reshape(b * c, Z + 2 * W + 2, Y, X)
-    pos_spec = pl.BlockSpec((1, 1, 1, Y, X),
-                            lambda bc, k: (bc // c, bc % c, k, 0, 0),
+    pos_spec = pl.BlockSpec((1, 1, Yp, Xp), lambda bg, k: (bg, k, 0, 0),
                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_warp_kernel, W=W, Z=Z, Y=Y, X=X, Yt=Yt, Xt=Xt, C=c),
-        grid=(b * c, Z),
+    out = pl.pallas_call(
+        functools.partial(_warp_group_kernel, W=W, Z=Z, Y=Yp, X=Xp,
+                          Yt=Y, Xt=X, F=F, nearest=nearest),
+        grid=(b * G, Z),
         in_specs=[
             pos_spec, pos_spec, pos_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, Y, X),
-                               lambda bc, k: (bc // c, bc % c, k, 0, 0),
+        out_specs=pl.BlockSpec((1, F, 1, Yp, Xp),
+                               lambda bg, k: (bg, 0, k, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, Z, Y, X), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * G, F, Z, Yp, Xp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((noff, Y, X), jnp.float32),
+            pltpu.VMEM((F, noff, Yp, Xp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        # The default scoped-vmem cap is 16 MB; multi-channel outputs at
+        # 128^3 exceed it (v5e has 128 MB physical VMEM).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(px, py, pz, srcp)
+    )(pxr, pyr, pzr, srcp)
+    return out.reshape(b, G, F, Z, Yp, Xp)[..., :Y, :X]
+
+
+def warp_trilinear(fields, px, py, pz, window: int = DEFAULT_WINDOW):
+    """Per-channel positions: fields (b, c, Z, Y, X), px/py/pz
+    (b, c, z, y, x). Returns (b, c, Z, Y, X)."""
+    b, c = fields.shape[:2]
+    out = _warp_group(fields[:, :, None], px, py, pz, window, False)
+    return out[:, :, 0]
 
 
 def warp_trilinear_shared(fields, px, py, pz, window: int = DEFAULT_WINDOW):
-    """Same positions for every channel: px/py/pz are (b, z, y, x)."""
-    b, c = fields.shape[:2]
-    ex = lambda p: jnp.broadcast_to(p[:, None], (b, c) + p.shape[1:])
-    return warp_trilinear(fields, ex(px), ex(py), ex(pz), window=window)
+    """Shared positions for every channel: px/py/pz are (b, z, y, x)."""
+    out = _warp_group(fields[:, None], px[:, None], py[:, None],
+                      pz[:, None], window, False)
+    return out[:, 0]
+
+
+def warp_group(fields, px, py, pz, window: int = DEFAULT_WINDOW,
+               nearest: bool = False):
+    """Raw grouped interface: fields (b, G, F, Z, Y, X), positions
+    (b, G, z, y, x)."""
+    return _warp_group(fields, px, py, pz, window, nearest)
 
 
 def warp_fluid(src, flags, px, py, pz, window: int = DEFAULT_WINDOW):
@@ -209,16 +340,16 @@ def warp_fluid(src, flags, px, py, pz, window: int = DEFAULT_WINDOW):
 def gather_cells(fields, xi, yi, zi, window: int = DEFAULT_WINDOW):
     """Windowed integer-cell gather: fields[..., zi, yi, xi] where the
     indices lie within +-window of each cell (replaces gather3d on the hot
-    path). Implemented by warping at the target cell centers — the corner
-    weights collapse to an exact single-cell pick.
+    path). Uses the cheaper nearest mode ((2W+1)^3 indicator taps).
 
     fields: (b, c, Z, Y, X); xi/yi/zi: (b, z, y, x) int32.
     """
-    Z, Y, X = fields.shape[2:]
     px = xi.astype(jnp.float32) + 0.5
     py = yi.astype(jnp.float32) + 0.5
     pz = zi.astype(jnp.float32) + 0.5
-    return warp_trilinear_shared(fields, px, py, pz, window=window)
+    out = _warp_group(fields[:, None], px[:, None], py[:, None],
+                      pz[:, None], window, True)
+    return out[:, 0]
 
 
 def clamp_displacement(dx, dy, dz, window: int, margin: float = 1e-3):

@@ -87,19 +87,30 @@ def simulate(state: FluidState, mconf: ModelConfig,
     u, p, flags, density = state.u, state.p, state.flags, state.density
     dx = get_dx(flags)
 
+    # Free-space field for the windowed 'Ours' trace clamp: flags are
+    # constant within a step, so compute it once and share it across every
+    # advect call.
+    free_space = None
+    if mconf.advection_window and mconf.advection_method.endswith("Ours"):
+        from fluidnet_tpu.ops.advect_fast import chebyshev_free_space
+        free_space = chebyshev_free_space(flags, mconf.advection_window + 1)
+
     # 1. Advect scalar fields (multi-channel densities advect per channel,
     #    simulate.lua:183-195).
     if density is not None:
         chans = [advect_scalar(dt, density[:, c:c + 1], u, flags,
                                method=mconf.advection_method,
                                sample_outside_fluid=False,
-                               maccormack_strength=mconf.maccormack_strength)
+                               maccormack_strength=mconf.maccormack_strength,
+                               window=mconf.advection_window,
+                               free_space=free_space)
                  for c in range(density.shape[1])]
         density = jnp.concatenate(chans, axis=1)
 
     # 2. Self-advect velocity (must be advected last, simulate.lua:197-199).
     u = advect_vel(dt, u, flags, method=mconf.advection_method,
-                   maccormack_strength=mconf.maccormack_strength)
+                   maccormack_strength=mconf.maccormack_strength,
+                   window=mconf.advection_window, free_space=free_space)
 
     # 3. External boundary conditions (simulate.lua:201-202).
     state = apply_boundaries(

@@ -1,0 +1,146 @@
+"""Windowed (Pallas) advection fast path vs the exact gather path.
+
+Runs on CPU in pallas interpret mode (tiny grids). Where the fast path is
+exact by construction (plain trilinear sampling, in-window displacements)
+we require tight equality with the gather path; the 'Ours' deviations
+(free-space clamp, renormalized fluid interp) get property tests.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fluidnet_tpu.core.grids import empty_domain
+from fluidnet_tpu.ops.advect import advect_scalar, advect_vel
+from fluidnet_tpu.ops.advect_fast import chebyshev_free_space
+
+from tests import reference_impl as ref
+
+TOL = 1e-4
+
+
+def small_case(rng, is3d, vel_scale=0.9, p_obstacle=0.0):
+    if is3d:
+        B, Z, Y, X = 1, 6, 8, 16
+        C = 3
+    else:
+        B, Z, Y, X = 1, 1, 8, 16
+        C = 2
+    flags = ref.random_flags(rng, (B, 1, Z, Y, X), p_obstacle)
+    u = (rng.standard_normal((B, C, Z, Y, X)) * vel_scale).astype(np.float32)
+    s = rng.random((B, 1, Z, Y, X)).astype(np.float32)
+    return jnp.asarray(flags), jnp.asarray(u), jnp.asarray(s)
+
+
+@pytest.mark.parametrize("is3d", [False, True])
+@pytest.mark.parametrize("method", ["euler", "maccormack"])
+def test_manta_fast_matches_exact(is3d, method):
+    """Manta-path semantics are preserved exactly for in-window
+    displacements (the fast trilinear kernel implements BUILD_INDEX
+    bit-for-bit)."""
+    rng = np.random.default_rng(90)
+    flags, u, s = small_case(rng, is3d, vel_scale=0.8, p_obstacle=0.15)
+    dt = 0.5
+    exact = advect_scalar(dt, s, u, flags, method=method, window=None)
+    fast = advect_scalar(dt, s, u, flags, method=method, window=2)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact), atol=TOL)
+
+
+@pytest.mark.parametrize("is3d", [False, True])
+@pytest.mark.parametrize("method", ["euler", "maccormack"])
+def test_manta_fast_vel_matches_exact(is3d, method):
+    rng = np.random.default_rng(91)
+    flags, u, _ = small_case(rng, is3d, vel_scale=0.8, p_obstacle=0.15)
+    dt = 0.5
+    exact = advect_vel(dt, u, flags, method=method, window=None)
+    fast = advect_vel(dt, u, flags, method=method, window=2)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact), atol=TOL)
+
+
+@pytest.mark.parametrize("is3d", [False, True])
+def test_ours_fast_matches_exact_in_open_fluid(is3d):
+    """With no obstacles in reach, the free-space clamp is inactive and all
+    corners are fluid, so eulerOurs fast == eulerOurs exact."""
+    rng = np.random.default_rng(92)
+    flags, u, s = small_case(rng, is3d, vel_scale=0.5, p_obstacle=0.0)
+    dt = 0.5
+    exact = np.asarray(advect_scalar(dt, s, u, flags, method="eulerOurs",
+                                     window=None))
+    fast = np.asarray(advect_scalar(dt, s, u, flags, method="eulerOurs",
+                                    window=2))
+    # Compare deep interior (the free-space clamp engages near the border
+    # walls; the exact trace stops there too but lands slightly elsewhere).
+    sl = (slice(None), slice(None), slice(None), slice(3, -3), slice(3, -3))
+    if is3d:
+        sl = (slice(None), slice(None), slice(2, -2), slice(3, -3),
+              slice(3, -3))
+    np.testing.assert_allclose(fast[sl], exact[sl], atol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["eulerOurs", "maccormackOurs"])
+@pytest.mark.parametrize("is3d", [False, True])
+def test_ours_fast_properties_with_obstacles(method, is3d):
+    rng = np.random.default_rng(93)
+    flags, u, s = small_case(rng, is3d, vel_scale=1.5, p_obstacle=0.25)
+    out = np.asarray(advect_scalar(0.4, s, u, flags, method=method,
+                                   window=2))
+    assert np.isfinite(out).all()
+    fl = (np.asarray(flags) & 1) > 0
+    interior = np.ones_like(fl)
+    interior[..., :1, :] = interior[..., -1:, :] = False
+    interior[..., :, :1] = interior[..., :, -1:] = False
+    if is3d:
+        interior[:, :, :1] = interior[:, :, -1:] = False
+    if method == "eulerOurs":
+        # Non-fluid interior cells keep their value (the MacCormack clamp
+        # pass touches non-fluid cells too, in the reference as well:
+        # tfluids.cc:563-583 clamps every interior cell).
+        m = interior & ~fl
+        np.testing.assert_allclose(out[m], np.asarray(s)[m], atol=TOL)
+    # Interior values bounded by the source range (border is zeroed).
+    assert out[interior].min() >= float(s.min()) - 1e-3
+    assert out[interior].max() <= float(s.max()) + 1e-3
+
+
+def test_ours_fast_vel_with_obstacles():
+    rng = np.random.default_rng(94)
+    flags, u, _ = small_case(rng, True, vel_scale=1.5, p_obstacle=0.25)
+    out = np.asarray(advect_vel(0.4, u, flags, method="maccormackOurs",
+                                window=2))
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() <= np.abs(np.asarray(u)).max() + 1e-3
+
+
+def test_chebyshev_free_space():
+    flags = np.asarray(empty_domain((1, 1, 1, 8, 16), False)).copy()
+    flags[0, 0, 0, 4, 8] = 2
+    d = np.asarray(chebyshev_free_space(jnp.asarray(flags), 4))[0, 0, 0]
+    assert d[4, 8] == 0           # the obstacle itself
+    assert d[4, 9] == 1           # adjacent
+    assert d[4, 11] == 3
+    assert d[4, 12] == 3          # border wall at x == 15 caps it
+    assert d[1, 1] == 1           # border wall adjacency
+
+
+def test_simulate_uses_fast_path():
+    """End-to-end: a plume sim step with the windowed path stays sane."""
+    from fluidnet_tpu.core.config import ModelConfig
+    from fluidnet_tpu.core.grids import FluidState
+    from fluidnet_tpu.sim.simulate import create_plume_bcs, simulate
+    mconf = ModelConfig(is_3d=False, sim_method="jacobi", max_iter=100,
+                        buoyancy_scale=1.0,
+                        advection_method="maccormackOurs",
+                        advection_window=2)
+    B, Z, Y, X = 1, 1, 16, 16
+    flags = empty_domain((B, 1, Z, Y, X), False)
+    state = FluidState(
+        u=jnp.zeros((B, 2, Z, Y, X)), p=jnp.zeros((B, 1, Z, Y, X)),
+        flags=flags, density=jnp.zeros((B, 1, Z, Y, X)))
+    bcs = create_plume_bcs(state, [1.0], u_scale=0.5, rad=0.2)
+    step = jax.jit(lambda s, b: simulate(s, mconf, None, None, b))
+    for _ in range(3):
+        state = step(state, bcs)
+    assert np.isfinite(np.asarray(state.u)).all()
+    assert float(state.density.sum()) > 0
