@@ -38,9 +38,14 @@ LOG_COLUMNS = ["epoch", "tr_loss", "tr_p", "tr_u", "tr_div", "tr_lt_div",
 
 
 def _epoch(loader, state, mconf, key, py_rng, training, max_batches=0):
+    from fluidnet_tpu.utils.pbar import progress
     sums = {}
     n = 0
-    for batch, _ in loader.epoch():
+    n_total = (len(loader.dataset) + loader.batch_size - 1) // \
+        loader.batch_size
+    if max_batches:
+        n_total = min(n_total, max_batches)
+    for batch, _ in loader.epoch(max_batches=max_batches):
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("p_div", "u_div", "flags", "p_target", "u_target",
                            "density")}
@@ -57,8 +62,7 @@ def _epoch(loader, state, mconf, key, py_rng, training, max_batches=0):
         for k in ("total", "p", "u", "div", "long_term_div"):
             sums[k] = sums.get(k, 0.0) + float(terms[k])
         n += 1
-        if max_batches and n >= max_batches:
-            break
+        progress(n, n_total, f"err={loss:.4e}")
     return state, {k: v / max(n, 1) for k, v in sums.items()}, key
 
 

@@ -105,6 +105,9 @@ class ModelConfig:
     train_target_source: str = "manta"     # manta|jacobi|pcg
 
     grad_norm_threshold: float = 1.0
+    # sgd | adam | adagrad | rmsprop (default_conf.lua:99-107; the
+    # reference's lbfgs needs full batches and is intentionally omitted).
+    optimization_method: str = "adam"
     optim: OptimConfig = OptimConfig()
 
     def replace(self, **kw) -> "ModelConfig":

@@ -116,14 +116,20 @@ class PrefetchLoader:
         self.rng = np.random.default_rng(seed)
         self.depth = depth
 
-    def epoch(self, drop_last=False):
-        """Yields (batch, indices) for one pass over the dataset."""
+    def epoch(self, drop_last=False, max_batches=0):
+        """Yields (batch, indices) for one pass over the dataset.
+
+        max_batches truncates the epoch (conf.maxSamplesPerEpoch,
+        default_conf.lua:41) — bounded here so worker threads never block
+        on an abandoned generator."""
         n = len(self.dataset)
         order = self.rng.permutation(n) if self.shuffle else np.arange(n)
         chunks = [order[i:i + self.batch_size]
                   for i in range(0, n, self.batch_size)]
         if drop_last:
             chunks = [c for c in chunks if len(c) == self.batch_size]
+        if max_batches:
+            chunks = chunks[:max_batches]
 
         out_q = queue.Queue(maxsize=self.depth)
         in_q = queue.Queue()

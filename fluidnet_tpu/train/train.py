@@ -47,18 +47,34 @@ class TrainState:
 
 
 def make_optimizer(mconf: ModelConfig):
-    """Gradient clip + Adam (run_epoch.lua:304-320, default_conf.lua:108-119).
+    """Gradient clip + the selected optimizer (run_epoch.lua:304-320,
+    default_conf.lua:99-119; the reference carries local adam/rmsprop
+    copies, torch/lib/adam.lua / rmsprop.lua — optax provides them all).
 
     The LR schedule multipliers (conf.lrEpochMults) are applied by the
     training driver through optax's injected hyperparams."""
+    o = mconf.optim
+    method = mconf.optimization_method
+    if method == "adam":
+        opt = optax.inject_hyperparams(optax.adam)(
+            learning_rate=o.learning_rate, b1=o.beta1, b2=o.beta2,
+            eps=o.epsilon)
+    elif method == "sgd":
+        opt = optax.inject_hyperparams(optax.sgd)(
+            learning_rate=o.learning_rate, momentum=o.momentum)
+    elif method == "adagrad":
+        opt = optax.inject_hyperparams(optax.adagrad)(
+            learning_rate=o.learning_rate)
+    elif method == "rmsprop":
+        opt = optax.inject_hyperparams(optax.rmsprop)(
+            learning_rate=o.learning_rate, eps=o.epsilon)
+    else:
+        raise ValueError(f"bad optimization_method {method}")
     return optax.chain(
         optax.clip_by_global_norm(mconf.grad_norm_threshold),
-        optax.inject_hyperparams(optax.adam)(
-            learning_rate=mconf.optim.learning_rate,
-            b1=mconf.optim.beta1, b2=mconf.optim.beta2,
-            eps=mconf.optim.epsilon),
-        optax.add_decayed_weights(mconf.optim.weight_decay)
-        if mconf.optim.weight_decay else optax.identity(),
+        opt,
+        optax.add_decayed_weights(o.weight_decay)
+        if o.weight_decay else optax.identity(),
     )
 
 
