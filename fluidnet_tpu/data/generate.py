@@ -139,12 +139,13 @@ def generate_run(out_dir, rng, size_xyz=(64, 64, 1), is_3d=False,
 
     advance = jax.jit(lambda s, b: simulate(s, mconf, None, None, b,
                                             output_div=True))
+    project = jax.jit(lambda s: project_pcg(s, max_iter=max_iter))
     max_res = 0.0
     for f in range(n_frames):
         state = advance(state, bcs)          # divergent state
         if f % save_every == 0:
             _save(out_dir, f, state)
-        projected, res = project_pcg(state, max_iter=max_iter)
+        projected, res = project(state)
         max_res = max(max_res, float(res))
         if f % save_every == 0:
             _save(out_dir, f, projected, divergent=False)

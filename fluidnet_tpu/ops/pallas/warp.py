@@ -133,7 +133,10 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
     dma.wait()
 
     accs = [jnp.zeros((Y, X), jnp.float32) for _ in range(F)]
-    for ozi in range(noff):
+    # 2-D grids (Z == 1): only the zero z-offset carries weight; skipping
+    # the other slices cuts the tap count by (2W+2)x.
+    oz_range = range(noff) if Z > 1 else [W]
+    for ozi in oz_range:
         wz = wz_list[ozi]
         for oyi, oy in enumerate(range(off_lo, off_lo + noff)):
             wzy = wz * wy[oyi]
