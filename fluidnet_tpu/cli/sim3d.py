@@ -86,11 +86,13 @@ def run(args):
     writers = {}
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
+        # Frames are written for i in [1, num_frames) with i % decimation
+        # == 0 (the reference saves every 3rd frame,
+        # fluid_net_3d_sim.lua:286-290).
         writers["density"] = VboxWriter(
             os.path.join(args.out_dir,
                          f"density_output_dt{mconf.dt}.vbox"),
-            res, res, res, (args.num_frames + args.decimation - 1) //
-            args.decimation)
+            res, res, res, (args.num_frames - 1) // args.decimation)
         with VboxWriter(os.path.join(args.out_dir, "geom_output.vbox"),
                         res, res, res, 1) as gw:
             occ = (np.asarray(state.flags)[0, 0] & 2) > 0
