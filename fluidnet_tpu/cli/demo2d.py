@@ -60,6 +60,29 @@ def sphere_force_splat(state, center_yx, force_yx, radius):
     return state.replace(u=state.u + jnp.asarray(du))
 
 
+def save_velocity_quiver(path, u, density=None, stride=4):
+    """Velocity-arrow visualization — the headless equivalent of the GL
+    drawVelocityField (generic/tfluids.cc:350-424)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    ux, uy = np.asarray(u[0, 0, 0]), np.asarray(u[0, 1, 0])
+    Y, X = ux.shape
+    fig, ax = plt.subplots(figsize=(5, 5))
+    if density is not None:
+        img = density_to_rgb(density[0, :, 0])
+        ax.imshow(img, origin="lower", extent=(0, X, 0, Y))
+    yy, xx = np.mgrid[0:Y:stride, 0:X:stride]
+    ax.quiver(xx, yy, ux[::stride, ::stride], uy[::stride, ::stride],
+              color="w" if density is not None else "k", scale=30)
+    ax.set_xlim(0, X)
+    ax.set_ylim(0, Y)
+    ax.set_axis_off()
+    fig.tight_layout(pad=0)
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
 def density_to_rgb(density):
     """density: (c, y, x) in [0, 1]; 1 or 3 channels -> (y, x, 3) uint8."""
     d = np.asarray(density)
@@ -118,6 +141,10 @@ def run(args):
         if i % args.save_every == 0:
             img = density_to_rgb(np.asarray(state.density)[0, :, 0])
             write_png(os.path.join(args.out_dir, f"frame_{i:05d}.png"), img)
+            if args.draw_velocity:
+                save_velocity_quiver(
+                    os.path.join(args.out_dir, f"vel_{i:05d}.png"),
+                    state.u, state.density)
             n_img += 1
     jax.block_until_ready(state.u)
     fps = args.frames / (time.perf_counter() - t_start)
@@ -139,6 +166,9 @@ def main(argv=None):
     ap.add_argument("--model", default="")
     ap.add_argument("--splats", action="store_true",
                     help="periodic scripted force splats")
+    ap.add_argument("--draw_velocity", action="store_true",
+                    help="also write velocity-arrow overlays (the GL "
+                         "drawVelocityField equivalent)")
     ap.add_argument("--out_dir", default="data/output/demo2d")
     run(ap.parse_args(argv))
 
