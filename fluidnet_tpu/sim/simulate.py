@@ -87,30 +87,45 @@ def simulate(state: FluidState, mconf: ModelConfig,
     u, p, flags, density = state.u, state.p, state.flags, state.density
     dx = get_dx(flags)
 
-    # Free-space field for the windowed 'Ours' trace clamp: flags are
-    # constant within a step, so compute it once and share it across every
-    # advect call.
-    free_space = None
-    if mconf.advection_window and mconf.advection_method.endswith("Ours"):
-        from fluidnet_tpu.ops.advect_fast import chebyshev_free_space
-        free_space = chebyshev_free_space(flags, mconf.advection_window + 1)
+    # 1.+2. Advection: scalars per channel, then velocity self-advection
+    #       (must be last, simulate.lua:183-199).
+    def _advect_all(window):
+        def fn(operands):
+            u_, density_ = operands
+            free_space = None
+            if window and mconf.advection_method.endswith("Ours"):
+                # Free-space field for the 'Ours' trace clamp: flags are
+                # constant within a step, computed once per advect block.
+                from fluidnet_tpu.ops.advect_fast import chebyshev_free_space
+                free_space = chebyshev_free_space(flags, window + 1)
+            d_ = density_
+            if density_ is not None:
+                chans = [advect_scalar(
+                    dt, density_[:, c:c + 1], u_, flags,
+                    method=mconf.advection_method,
+                    sample_outside_fluid=False,
+                    maccormack_strength=mconf.maccormack_strength,
+                    window=window, free_space=free_space)
+                    for c in range(density_.shape[1])]
+                d_ = jnp.concatenate(chans, axis=1)
+            u2 = advect_vel(dt, u_, flags, method=mconf.advection_method,
+                            maccormack_strength=mconf.maccormack_strength,
+                            window=window, free_space=free_space)
+            return u2, d_
+        return fn
 
-    # 1. Advect scalar fields (multi-channel densities advect per channel,
-    #    simulate.lua:183-195).
-    if density is not None:
-        chans = [advect_scalar(dt, density[:, c:c + 1], u, flags,
-                               method=mconf.advection_method,
-                               sample_outside_fluid=False,
-                               maccormack_strength=mconf.maccormack_strength,
-                               window=mconf.advection_window,
-                               free_space=free_space)
-                 for c in range(density.shape[1])]
-        density = jnp.concatenate(chans, axis=1)
-
-    # 2. Self-advect velocity (must be advected last, simulate.lua:197-199).
-    u = advect_vel(dt, u, flags, method=mconf.advection_method,
-                   maccormack_strength=mconf.maccormack_strength,
-                   window=mconf.advection_window, free_space=free_space)
+    if (mconf.adaptive_window and mconf.advection_window
+            and mconf.advection_window > 1):
+        # The window only LIMITS displacements, so whenever the per-step
+        # CFL number fits the small window, the W=1 kernel is exact and
+        # ~(2W+2)^3/64 x cheaper. Both branches compile; one runs.
+        cfl = jnp.max(jnp.abs(u)) * dt
+        u, density = jax.lax.cond(
+            cfl <= 1.0 - 1e-3,
+            _advect_all(1), _advect_all(mconf.advection_window),
+            (u, density))
+    else:
+        u, density = _advect_all(mconf.advection_window)((u, density))
 
     # 3. External boundary conditions (simulate.lua:201-202).
     state = apply_boundaries(
