@@ -34,13 +34,24 @@ def _sweep(p, div, masks, denom):
     return jnp.where(zero_mask, jnp.zeros_like(out), out)
 
 
-def solve_jacobi(flags, div, p_tol: float = 1e-5, max_iter: int = 1000):
+def solve_jacobi(flags, div, p_tol: float = 1e-5, max_iter: int = 1000,
+                 allow_pallas: bool = True):
     """Solves the pressure Poisson system. Returns (p, residual).
 
     API mirrors tfluids.solveLinearSystemJacobi
     (torch/tfluids/init.lua:693-735); p always starts from zero like the
     reference (generic/tfluids.cu:1853-1855).
+
+    Fixed-iteration solves (p_tol == 0) on VMEM-sized grids run as one
+    fused Pallas kernel (solvers/pallas_jacobi.py); the residual is then
+    not tracked (returned as 0 like a converged delta), matching the
+    simulate loop's usage which ignores it (simulate.lua:287-292).
     """
+    if p_tol == 0.0 and allow_pallas:
+        from fluidnet_tpu.solvers.pallas_jacobi import fits_vmem, jacobi_pallas
+        if fits_vmem(div.shape):
+            p = jacobi_pallas(flags, div, max_iter)
+            return p, jnp.zeros((), div.dtype)
     is_3d = div.shape[2] > 1
     ob = is_obstacle(flags)
     bm = border_mask(flags.shape, is_3d, 1)

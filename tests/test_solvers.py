@@ -121,3 +121,27 @@ def test_normalize_pressure_mean_per_component():
     assert abs(left_m) < 1e-6 and abs(right_m) < 1e-6
     # Non-fluid cells untouched.
     np.testing.assert_array_equal(p2[~fl], p[~fl])
+
+
+@pytest.mark.parametrize("is3d", [False, True])
+def test_pallas_jacobi_matches_xla(is3d):
+    """The fused VMEM Jacobi kernel is sweep-for-sweep identical to the
+    while_loop XLA formulation."""
+    from fluidnet_tpu.solvers.pallas_jacobi import jacobi_pallas
+    rng = np.random.default_rng(25)
+    if is3d:
+        B, Z, Y, X = 1, 12, 16, 128
+    else:
+        B, Z, Y, X = 2, 1, 16, 128
+    flags = np.asarray(empty_domain((B, 1, Z, Y, X), is3d)).copy()
+    flags[..., Y // 2, X // 3] = ref.OBSTACLE
+    flags = jnp.asarray(flags)
+    C = 3 if is3d else 2
+    u = set_wall_bcs(jnp.asarray(
+        rng.standard_normal((B, C, Z, Y, X)).astype(np.float32)), flags)
+    div = velocity_divergence(u, flags)
+    p_ref, _ = solve_jacobi(flags, div, p_tol=0.0, max_iter=25,
+                            allow_pallas=False)
+    p_pal = jacobi_pallas(flags, div, 25)
+    np.testing.assert_allclose(np.asarray(p_pal), np.asarray(p_ref),
+                               atol=1e-6)
