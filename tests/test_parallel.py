@@ -42,7 +42,10 @@ def test_batch_sharded_train_step():
     result matches the unsharded step (SPMD correctness)."""
     rng = np.random.default_rng(51)
     from tests.test_train import make_batch
-    mconf = ModelConfig(is_3d=False, time_scale_sigma=0.0)
+    # f32 convs: bf16 rounding is reduction-order sensitive across
+    # shardings, which would mask genuine SPMD bugs here.
+    mconf = ModelConfig(is_3d=False, time_scale_sigma=0.0,
+                        conv_compute_dtype="float32")
     batch = make_batch(rng, n=16, B=8)
     state = init_train_state(jax.random.PRNGKey(0), mconf)
     key = jax.random.PRNGKey(1)
