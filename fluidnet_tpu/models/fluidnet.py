@@ -147,35 +147,45 @@ def _conv(x, p, nd, dilation=1, compute_dtype=jnp.bfloat16):
     stays dtype-consistent because the cotangent flows back through the
     upcast, so the transposed convs see uniform bf16.
 
-    3-D convs with a z-extent kernel are decomposed into kz shifted 2-D
-    convs over a (B*Z) batch and summed ("z2d"): XLA:TPU tiles the 2-D
-    conv ~2x better than the 3-D one for these small channel counts
-    (measured 6.6 -> 3.5 ms for an 8->8 k3 conv at 128^3; both forms sit
-    at the out_c=8 im2col MXU ceiling, the 2-D one just reaches it).
-    Numerically identical up to summation order."""
+    3-D convs with a z-extent kernel run as ONE channels-last 2-D conv
+    over a (B*Z) batch whose output channels are the (kz, out_c) pairs,
+    followed by a z-shift-add reduction ("z-fold"): a (z,y,x) k3^3 conv
+    with out_c=8 uses 8 of the MXU's 128 output lanes; folding the kz taps
+    into the output dimension triples the useful width at identical FLOPs
+    (measured: 8->8 k3^3 at 128^3 is 6.2 ms as a direct 3-D conv, 3x1.42
+    ms as kz shifted 2-D convs, 1.5 ms as the z-fold NHWC conv — the chip
+    sustains 171 TFLOP/s on square bf16 matmuls, so small-out_c convs are
+    MXU-width-bound, not FLOP-bound). Numerically identical up to
+    summation order."""
     w = p["w"]
     ks = w.shape[2:]
     dil = (dilation,) * nd
     bias = p["b"].reshape((1, -1) + (1,) * nd)
     if nd == 3 and ks[0] > 1:
-        kz = ks[0]
+        kz, ky, kx = ks
+        out_c = w.shape[0]
         zpad = (kz - 1) // 2 * dilation
         b, c, Z, Y, X = x.shape
-        xp = jnp.pad(
-            x.astype(compute_dtype).transpose(0, 2, 1, 3, 4),
-            ((0, 0), (zpad, zpad), (0, 0), (0, 0), (0, 0)))
-        pad2 = tuple(((k - 1) // 2 * dilation,) * 2 for k in ks[1:])
+        xl = x.astype(compute_dtype).transpose(0, 2, 3, 4, 1) \
+            .reshape(b * Z, Y, X, c)
+        # (O, I, kz, ky, kx) -> (ky, kx, I, kz*O): out channel = iz*O + o.
+        wl = w.astype(compute_dtype).transpose(3, 4, 1, 2, 0) \
+            .reshape(ky, kx, c, kz * out_c)
+        pad2 = tuple(((k - 1) // 2 * dilation,) * 2 for k in (ky, kx))
+        y = jax.lax.conv_general_dilated(
+            xl, wl, window_strides=(1, 1), padding=pad2,
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # out[z, o] = sum_iz y[z + iz*dil - zpad, iz, o].
+        y = y.reshape(b, Z, Y, X, kz, out_c)
+        yp = jnp.pad(y, ((0, 0), (zpad, zpad)) + ((0, 0),) * 4)
         acc = None
         for iz in range(kz):
-            sl = jax.lax.slice_in_dim(xp, iz * dilation, iz * dilation + Z, 1,
-                                      axis=1).reshape(b * Z, c, Y, X)
-            part = jax.lax.conv_general_dilated(
-                sl, w[:, :, iz].astype(compute_dtype),
-                window_strides=(1, 1), padding=pad2,
-                rhs_dilation=(dilation, dilation),
-                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            part = jax.lax.slice_in_dim(yp, iz * dilation,
+                                        iz * dilation + Z, 1,
+                                        axis=1)[..., iz, :]
             acc = part if acc is None else acc + part
-        out = acc.reshape(b, Z, -1, Y, X).transpose(0, 2, 1, 3, 4)
+        out = acc.transpose(0, 4, 1, 2, 3)
         return out.astype(jnp.float32) + bias
     pad = tuple(((k - 1) // 2 * d,) * 2 for k, d in zip(ks, dil))
     out = jax.lax.conv_general_dilated(

@@ -329,8 +329,8 @@ def advect_vel_fast(dt, u, flags, method, maccormack_strength, window,
             cys.append(cy)
             czs.append(cz)
         # One grouped nearest gather: the (mn, mx) pair of each component
-        # shares its lookup cell, and nearest mode needs (2W+1)^3 indicator
-        # taps instead of (2W+2)^3 trilinear ones.
+        # shares its lookup cell, and nearest-mode indicator weights are
+        # cheaper to build than trilinear corner weights.
         pxc = jnp.stack(cxs, 1).astype(jnp.float32) + 0.5
         pyc = jnp.stack(cys, 1).astype(jnp.float32) + 0.5
         pzc = jnp.stack(czs, 1).astype(jnp.float32) + 0.5

@@ -9,7 +9,7 @@ risk SURVEY.md §7 called out.
 This kernel exploits the physics: the backtrace displacement is bounded by
 the CFL number, so every sample lies within a static window of +-WINDOW
 cells. Trilinear interpolation then becomes a *statically shaped* sum over
-the (2W+2)^3 window offsets, with per-axis folded corner weights
+the (2W+1)^3 window offsets, with per-axis folded corner weights
 
     out = sum_o  src[z+oz, y+oy, x+ox] * wz(oz) * wy(oy) * wx(ox)
     wx(ox) = s0 * [xi == x+ox] + s1 * [xi == x+ox-1]        (etc.)
@@ -27,7 +27,7 @@ once per group and reused across channels. Call sites map onto this:
   gather_cells            G=1, F=c, nearest mode (clamp-bound lookups)
 
 Grid: one program per (b*G, z-slice). The source stays in HBM (pl.ANY);
-each program DMAs its (F, 2W+2, Y, X) z-window into VMEM scratch
+each program DMAs its (F, 2W+1, Y, X) z-window into VMEM scratch
 (pallas_guide.md Async DMA pattern). Positions follow BUILD_INDEX
 semantics (grid.cc:82-130) including domain-border clamps, so results are
 bit-comparable with ops.interp.interpol for in-window positions.
@@ -57,7 +57,13 @@ def _round_up(v, m):
 
 def _corner_weights(p, n_idx, iota, W):
     """BUILD_INDEX (grid.cc:82-130) folded corner weights for offsets
-    -W..W+1. p = position - 0.5; n_idx = true domain extent."""
+    -W..W. p = position - 0.5; n_idx = true domain extent.
+
+    Only 2W+1 taps are needed (not 2W+2): callers clamp displacements to
+    +-(W - margin) (clamp_displacement), so the base corner i = floor(p)
+    lies in [x-W, x+W-1] and i+1 in [x-W+1, x+W]; the border clamps below
+    only pull i further inward. Tap x+o carries w0 when i == x+o and w1
+    when i+1 == x+o, so o ranges over [-W, W]."""
     i = jnp.floor(p).astype(jnp.int32)
     w1 = p - i.astype(p.dtype)
     w0 = 1.0 - w1
@@ -70,7 +76,7 @@ def _corner_weights(p, n_idx, iota, W):
     w0 = jnp.where(hi, 0.0, w0)
     w1 = jnp.where(hi, 1.0, w1)
     return [w0 * (i == iota + o) + w1 * (i == iota + o - 1)
-            for o in range(-W, W + 2)]
+            for o in range(-W, W + 1)]
 
 
 def _nearest_weights(p, n_idx, iota, W):
@@ -87,7 +93,7 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
     # BUILD_INDEX border clamps; F channels share this program's positions.
     bg = pl.program_id(0)
     k = pl.program_id(1)
-    noff = (2 * W + 1) if nearest else (2 * W + 2)
+    noff = 2 * W + 1
     off_lo = -W
 
     dma = pltpu.make_async_copy(
@@ -125,16 +131,16 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
             f0 = jnp.where(hiz, 0.0, f0)
             f1 = jnp.where(hiz, 1.0, f1)
             wz_list = [f0 * (zi == k + o) + f1 * (zi == k + o - 1)
-                       for o in range(-W, W + 2)]
+                       for o in range(-W, W + 1)]
         else:
             wz_list = [jnp.full((Y, X), 1.0 if o == 0 else 0.0, px.dtype)
-                       for o in range(-W, W + 2)]
+                       for o in range(-W, W + 1)]
 
     dma.wait()
 
     accs = [jnp.zeros((Y, X), jnp.float32) for _ in range(F)]
     # 2-D grids (Z == 1): only the zero z-offset carries weight; skipping
-    # the other slices cuts the tap count by (2W+2)x.
+    # the other slices cuts the tap count by (2W+1)x.
     oz_range = range(noff) if Z > 1 else [W]
     for ozi in oz_range:
         wz = wz_list[ozi]
@@ -175,7 +181,7 @@ def _weights_xla(p, iota, n_idx, W, nearest):
     w0 = jnp.where(hi, 0.0, w0)
     w1 = jnp.where(hi, 1.0, w1)
     return [w0 * (i == iota + o) + w1 * (i == iota + o - 1)
-            for o in range(-W, W + 2)]
+            for o in range(-W, W + 1)]
 
 
 def _shiftn(a, off, axis):
@@ -259,7 +265,7 @@ def _warp_group_impl(fields, px, py, pz, window, nearest):
         py = jnp.pad(py, ppads, constant_values=0.5)
         pz = jnp.pad(pz, ppads, constant_values=0.5)
 
-    noff = (2 * W + 1) if nearest else (2 * W + 2)
+    noff = 2 * W + 1
     zpad = (W, noff - W)
     srcp = jnp.pad(fields, ((0, 0), (0, 0), (0, 0), zpad, (0, 0), (0, 0)))
     srcp = srcp.reshape(b * G, F, Z + zpad[0] + zpad[1], Yp, Xp)

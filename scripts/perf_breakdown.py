@@ -9,6 +9,10 @@ bench.py (materialize a slice of the result). Run on the real chip:
 import argparse
 import time
 
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
