@@ -27,7 +27,8 @@ from fluidnet_tpu.data.dataset import FluidDataset, PrefetchLoader
 from fluidnet_tpu.data.generate import generate_dataset
 from fluidnet_tpu.sim.simulate import simulate  # noqa: F401 (stats path)
 from fluidnet_tpu.train.train import (eval_step, init_train_state,
-                                      sample_future_steps, train_step)
+                                      sample_future_steps,
+                                      set_learning_rate, train_step)
 from fluidnet_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from fluidnet_tpu.utils.flops import model_flops, model_peak_activation
 from fluidnet_tpu.utils.logger import Logger
@@ -139,12 +140,20 @@ def run_training(conf, argv_done=True):
     max_batches = (conf.max_samples_per_epoch // conf.batch_size
                    if conf.max_samples_per_epoch else 0)
 
-    lr = mconf.optim.learning_rate
+    base_lr = mconf.optim.learning_rate
+    prev_lr = None
     for epoch in range(start_epoch, conf.max_epochs):
+        # lrEpochMults (run_epoch.lua:40-48); computed from scratch each
+        # epoch so resume replays every past multiplier.
+        lr = base_lr
         for ep_at, mult in conf.lr_epoch_mults:
-            if epoch == ep_at:
+            if epoch >= ep_at:
                 lr *= mult
-                print(f"==> LR multiplier {mult} -> {lr}")
+        if lr != prev_lr:
+            state = set_learning_rate(state, lr)
+            if prev_lr is not None:
+                print(f"==> LR -> {lr}")
+            prev_lr = lr
         t0 = time.time()
         if conf.train:
             state, tr_m, key = _epoch(tr_loader, state, mconf, key, py_rng,

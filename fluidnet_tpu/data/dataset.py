@@ -58,6 +58,7 @@ class FluidDataset:
             raise RuntimeError(f"no samples found under {self.root}")
         first = self._load(*self.samples[0])
         self.is_3d = first["is_3d"]
+        self.shape_zyx = first["p_div"].shape[2:]
 
     def _run_diverged(self, run_dir, frames):
         """Screens runs whose TARGET field still has large divergence
@@ -89,9 +90,50 @@ class FluidDataset:
     def __len__(self):
         return len(self.samples)
 
+    def _prime_cache_native(self, keys):
+        """Reads all uncached frames of a batch with the native threaded
+        reader (one fread + reinterpret per file, N files in parallel) —
+        the TPU-side equivalent of DataParallel's worker reads
+        (data_parallel.lua:63-194). Falls back silently (callers re-read
+        via the NumPy path) when the library is unavailable."""
+        if self.cache is None:
+            return
+        missing = [k for k in keys if k not in self.cache]
+        if not missing:
+            return
+        try:
+            from fluidnet_tpu.native import read_manta_frames_native
+        except Exception:
+            return
+        Z, Y, X = self.shape_zyx
+        paths = []
+        for rd, fname in missing:
+            paths.append(os.path.join(rd, fname))
+            paths.append(os.path.join(rd, fname[:-4] + "_divergent.bin"))
+        try:
+            out = read_manta_frames_native(paths, Z, Y, X, self.is_3d)
+        except Exception:
+            out = None
+        if out is None:
+            return
+        for i, key in enumerate(missing):
+            ti, di = 2 * i, 2 * i + 1
+            self.cache[key] = {
+                "p_div": out["p"][di:di + 1],
+                "u_div": out["u_div_or_target"][di:di + 1],
+                "density": out["density"][di:di + 1],
+                "flags": out["flags"][ti:ti + 1],
+                "p_target": out["p"][ti:ti + 1],
+                "u_target": out["u_div_or_target"][ti:ti + 1],
+                "density_target": out["density"][ti:ti + 1],
+                "is_3d": self.is_3d,
+            }
+
     def get_batch(self, indices):
         """Assembles a batch dict of stacked numpy arrays
         (AllocateBatchMemory/CreateBatch, data_binary.lua:356-453)."""
+        keys = [self.samples[i] for i in indices]
+        self._prime_cache_native(keys)
         items = [self._load(*self.samples[i]) for i in indices]
         batch = {}
         for k in ("p_div", "u_div", "density", "flags", "p_target",

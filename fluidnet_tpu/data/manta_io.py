@@ -27,14 +27,11 @@ import numpy as np
 
 
 def load_manta_file(path):
-    """Returns dict(p, U, flags, density, is_3d) of numpy arrays."""
-    try:
-        from fluidnet_tpu.native import manta_load_native
-        out = manta_load_native(path)
-        if out is not None:
-            return out
-    except Exception:
-        pass
+    """Returns dict(p, U, flags, density, is_3d) of numpy arrays.
+
+    Single-frame loads parse in NumPy (one frombuffer per field — already
+    IO-bound); batched loads go through the native threaded reader wired
+    into FluidDataset._prime_cache_native."""
     with open(path, "rb") as f:
         raw = f.read()
     return parse_manta_bytes(raw)

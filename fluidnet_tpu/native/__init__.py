@@ -105,9 +105,3 @@ def read_manta_frames_native(paths, Z, Y, X, is_3d, n_threads=8):
     if rc != 0:
         raise IOError(f"fn_read_manta_frames failed with code {rc}")
     return {"u_div_or_target": u, "p": p, "flags": flags, "density": density}
-
-
-def manta_load_native(path):
-    """Single-frame load via the batch reader (needs dims probe first) —
-    cheaper to let manta_io's NumPy path handle singles; return None."""
-    return None

@@ -32,9 +32,17 @@ import jax.numpy as jnp
 import optax
 
 from fluidnet_tpu.core.config import ModelConfig
-from fluidnet_tpu.core.grids import FluidState
+from fluidnet_tpu.core.grids import FluidState, get_dx
 from fluidnet_tpu.models.fluidnet import apply_model, init_model
+from fluidnet_tpu.ops.boundary import set_wall_bcs
+from fluidnet_tpu.ops.divergence import velocity_divergence
+from fluidnet_tpu.ops.forces import (add_buoyancy, add_gravity,
+                                     vorticity_confinement)
+from fluidnet_tpu.ops.velocity_update import velocity_update
 from fluidnet_tpu.sim.simulate import simulate
+from fluidnet_tpu.solvers.cg import solve_pcg
+from fluidnet_tpu.solvers.components import normalize_pressure_mean
+from fluidnet_tpu.solvers.jacobi import solve_jacobi
 from fluidnet_tpu.train.loss import fluid_loss
 
 
@@ -117,6 +125,45 @@ def _random_dt(key, mconf: ModelConfig):
     return mconf.dt * scale
 
 
+def _data_augmentation(u_div, flags, density, mconf: ModelConfig,
+                       gravity, b_scale, g_scale, v_amp):
+    """tfluids.dataAugmentation (simulate.lua:374-414): adds extra
+    buoyancy/gravity/vorticity-confinement divergence to UDiv (targets are
+    recomputed by the solver afterwards, so any extra divergence is fair
+    game). The reference passes the RAW cardinal gravity vector to
+    addBuoyancy (simulate.lua:395-400) but the dx-scaled one to addGravity
+    (:403-408); we keep both quirks."""
+    dx = get_dx(flags)
+    if density is not None:
+        g_buoy = gravity * jnp.where(b_scale > 0, 1.0, 0.0)
+        u_div = add_buoyancy(u_div, flags, density[:, 0:1], g_buoy, mconf.dt)
+    u_div = add_gravity(u_div, flags, gravity * (-(dx / 4.0) * g_scale),
+                        mconf.dt)
+    u_div = vorticity_confinement(u_div, flags, dx * v_amp)
+    return u_div
+
+
+def _calc_pu_targets(u_div, flags, mconf: ModelConfig):
+    """tfluids.calcPUTargets (simulate.lua:332-372): solver-sourced ground
+    truth. Returns (u_div', p_target, u_target) where u_div' is the
+    wall-bc'd input the reference leaves in the batch (:344). Callers wrap
+    in stop_gradient (the reference computes targets outside the autograd
+    closure, run_epoch.lua:160-170)."""
+    u_div = set_wall_bcs(u_div, flags)
+    div = velocity_divergence(u_div, flags)
+    if mconf.train_target_source == "pcg":
+        p_t, _ = solve_pcg(flags, div, tol=1e-4,
+                           max_iter=mconf.max_iter or 100)
+    elif mconf.train_target_source == "jacobi":
+        p_t, _ = solve_jacobi(flags, div, p_tol=0.0,
+                              max_iter=mconf.max_iter or 50)
+    else:
+        raise ValueError(
+            f"bad train_target_source {mconf.train_target_source}")
+    u_t = set_wall_bcs(velocity_update(u_div, flags, p_t), flags)
+    return u_div, p_t, u_t
+
+
 def sample_future_steps(py_rng, mconf: ModelConfig) -> int:
     """Host-side horizon sampling (run_epoch.lua:254-257)."""
     if py_rng.random() <= mconf.long_term_div_probability:
@@ -132,18 +179,38 @@ def _batch_state(batch) -> FluidState:
 def loss_fn(params, batch, key, mconf: ModelConfig, n_future: int,
             loss_weights=None):
     """Total loss for one batch. batch keys: p_div, u_div, flags,
-    p_target, u_target, optional density."""
+    p_target, u_target, optional density.
+
+    When mconf.train_target_source is 'jacobi'/'pcg' and a p/u loss is
+    active, the manta targets are replaced in-graph: dataAugmentation on
+    UDiv, then solver ground truth (run_epoch.lua:160-170 — note the
+    reference gates this on the misspelled `trainTrainSource`, which is
+    always nil there; we implement the intended train_target_source gate).
+    With loss_p_lambda > 0 the target pressure's per-component DC mode is
+    removed before the loss (run_epoch.lua:172-179)."""
     flags = batch["flags"]
-    p_pred, u_pred = apply_model(params, mconf, batch["p_div"],
-                                 batch["u_div"], flags)
-    total, terms = fluid_loss(mconf, p_pred, u_pred, batch["p_target"],
-                              batch["u_target"], flags, weights=loss_weights)
+    kdt, kforce = jax.random.split(key)
+    dt = _random_dt(kdt, mconf)
+    gravity, b_scale, g_scale, v_amp = _random_forces(kforce, mconf)
+
+    u_div = batch["u_div"]
+    p_target, u_target = batch["p_target"], batch["u_target"]
+    use_solver_gt = (mconf.train_target_source != "manta" and
+                     (mconf.loss_p_lambda > 0 or mconf.loss_u_lambda > 0))
+    if use_solver_gt:
+        u_aug = _data_augmentation(u_div, flags, batch.get("density"),
+                                   mconf, gravity, b_scale, g_scale, v_amp)
+        u_div, p_target, u_target = jax.lax.stop_gradient(
+            _calc_pu_targets(u_aug, flags, mconf))
+    if mconf.loss_p_lambda > 0:
+        p_target = normalize_pressure_mean(p_target, flags)
+
+    p_pred, u_pred = apply_model(params, mconf, batch["p_div"], u_div, flags)
+    total, terms = fluid_loss(mconf, p_pred, u_pred, p_target,
+                              u_target, flags, weights=loss_weights)
 
     if n_future > 0 and mconf.long_term_div_lambda > 0:
-        kdt, kforce = jax.random.split(key)
-        dt = _random_dt(kdt, mconf)
-        gravity, b_scale, g_scale, v_amp = _random_forces(kforce, mconf)
-        state = _batch_state(batch)
+        state = _batch_state(batch).replace(u=u_div)
 
         def step(s, output_div):
             return simulate(
@@ -167,12 +234,22 @@ def loss_fn(params, batch, key, mconf: ModelConfig, n_future: int,
             state = jax.tree_util.tree_map(jax.lax.stop_gradient, state)
 
         p_lt, u_lt = apply_model(params, mconf, state.p, state.u, flags)
-        # No manta GT for future frames: pressure/velocity lambdas are zeroed
-        # (run_epoch.lua:273-277); divergence target is zero.
-        lt_total, lt_terms = fluid_loss(
-            mconf, p_lt, u_lt, state.p, state.u, flags,
-            p_lambda=0.0, u_lambda=0.0,
-            div_lambda=mconf.long_term_div_lambda, weights=loss_weights)
+        if mconf.train_target_source == "manta":
+            # No manta GT for future frames: pressure/velocity lambdas are
+            # zeroed (run_epoch.lua:273-277); divergence target is zero.
+            lt_total, lt_terms = fluid_loss(
+                mconf, p_lt, u_lt, state.p, state.u, flags,
+                p_lambda=0.0, u_lambda=0.0,
+                div_lambda=mconf.long_term_div_lambda, weights=loss_weights)
+        else:
+            # Solver GT exists for the future frame too
+            # (run_epoch.lua:278-283): full lambdas, normalized p target.
+            _, p_lt_t, u_lt_t = jax.lax.stop_gradient(
+                _calc_pu_targets(state.u, flags, mconf))
+            p_lt_t = normalize_pressure_mean(p_lt_t, flags)
+            lt_total, lt_terms = fluid_loss(
+                mconf, p_lt, u_lt, p_lt_t, u_lt_t, flags,
+                div_lambda=mconf.long_term_div_lambda, weights=loss_weights)
         total = total + lt_total
         terms["long_term_div"] = lt_terms["div"]
     else:

@@ -56,6 +56,35 @@ def test_binvox_decode_native_matches_numpy():
     np.testing.assert_array_equal(out, flat)
 
 
+def test_dataset_uses_native_reader(tmp_path, monkeypatch):
+    """FluidDataset primes its cache through the native batched reader;
+    the batch must equal the pure-NumPy path bit for bit."""
+    from fluidnet_tpu.data.dataset import FluidDataset
+    from fluidnet_tpu.data.manta_io import frame_name, save_manta_file
+    rng = np.random.default_rng(73)
+    Z, Y, X = 1, 8, 8
+    run = tmp_path / "ds" / "tr" / "run0"
+    run.mkdir(parents=True)
+    for i in range(4):
+        for divergent in (False, True):
+            p = rng.standard_normal((1, 1, Z, Y, X)).astype(np.float32)
+            u = np.zeros((1, 2, Z, Y, X), np.float32)
+            flags = np.asarray(empty_domain((1, 1, Z, Y, X), False),
+                               np.int32)
+            rho = rng.random((1, 1, Z, Y, X)).astype(np.float32)
+            save_manta_file(str(run / frame_name(i, divergent)), p, u,
+                            flags, rho)
+    ds_native = FluidDataset(str(tmp_path), "ds", "tr")
+    native_batch = ds_native.get_batch([0, 2, 3])
+    assert len(ds_native.cache) >= 3  # primed by the native reader
+    ds_plain = FluidDataset(str(tmp_path), "ds", "tr")
+    monkeypatch.setattr(ds_plain, "_prime_cache_native",
+                        lambda keys: None)
+    plain_batch = ds_plain.get_batch([0, 2, 3])
+    for k in native_batch:
+        np.testing.assert_array_equal(native_batch[k], plain_batch[k])
+
+
 def test_threaded_frame_reader(tmp_path):
     from fluidnet_tpu.data.manta_io import load_manta_file, save_manta_file
     rng = np.random.default_rng(72)

@@ -78,6 +78,96 @@ def test_sample_future_steps():
     assert vals == {4, 16}
 
 
+@pytest.mark.parametrize("source", ["jacobi", "pcg"])
+def test_solver_targets_and_augmentation(source):
+    """trainTargetSource='jacobi'|'pcg' (simulate.lua:332-414 wired per
+    run_epoch.lua:160-179): manta targets are ignored, augmentation adds
+    divergence to UDiv, solver GT replaces the targets, and the p target
+    is DC-normalized."""
+    rng = np.random.default_rng(43)
+    mconf = ModelConfig(is_3d=False, loss_p_lambda=0.5, loss_u_lambda=0.5,
+                        train_target_source=source, max_iter=60,
+                        train_buoyancy_prob=1.0, train_gravity_prob=1.0,
+                        train_vorticity_confinement_prob=1.0)
+    batch = make_batch(rng)
+    state = init_train_state(jax.random.PRNGKey(0), mconf)
+    # Poison the manta targets: the solver path must not read them.
+    poisoned = dict(batch)
+    poisoned["p_target"] = batch["p_target"] * jnp.nan
+    poisoned["u_target"] = batch["u_target"] * jnp.nan
+    total, terms = loss_fn(state.params, poisoned, jax.random.PRNGKey(1),
+                           mconf, n_future=1)
+    assert np.isfinite(float(total))
+    for k in ("p", "u", "div", "long_term_div"):
+        assert np.isfinite(float(terms[k])), k
+    # And gradients flow.
+    grads = jax.grad(lambda pr: loss_fn(pr, poisoned, jax.random.PRNGKey(1),
+                                        mconf, n_future=0)[0])(state.params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert any(float(np.abs(np.asarray(l)).max()) > 0 for l in leaves)
+
+
+def test_data_augmentation_changes_udiv_only():
+    """dataAugmentation perturbs UDiv (more divergence is fine) but the
+    manta-loaded fields it must not touch stay intact
+    (simulate.lua:374-414: only UDiv is written)."""
+    from fluidnet_tpu.train.train import _data_augmentation
+    rng = np.random.default_rng(44)
+    mconf = ModelConfig(is_3d=False)
+    batch = make_batch(rng)
+    before = {k: np.asarray(v).copy() for k, v in batch.items()}
+    gravity = jnp.asarray([0.0, 1.0, 0.0])
+    u_aug = _data_augmentation(batch["u_div"], batch["flags"],
+                               batch["density"], mconf, gravity,
+                               jnp.asarray(2.0), jnp.asarray(2.0),
+                               jnp.asarray(2.0))
+    assert float(np.abs(np.asarray(u_aug) - before["u_div"]).max()) > 0
+    for k in ("p_div", "flags", "p_target", "u_target", "density"):
+        np.testing.assert_array_equal(np.asarray(batch[k]), before[k])
+
+
+def test_pressure_mean_normalized_when_p_loss():
+    """With loss_p_lambda > 0 the target pressure entering the loss has
+    zero mean over each fluid component (run_epoch.lua:172-179): adding a
+    constant to p_target on fluid cells (the DC null space of the Poisson
+    solve) must not change the loss."""
+    rng = np.random.default_rng(45)
+    mconf = ModelConfig(is_3d=False, loss_p_lambda=1.0, loss_u_lambda=0.0,
+                        long_term_div_lambda=0.0)
+    batch = make_batch(rng)
+    state = init_train_state(jax.random.PRNGKey(0), mconf)
+    t1, _ = loss_fn(state.params, batch, jax.random.PRNGKey(1), mconf, 0)
+    shifted = dict(batch)
+    fl = ((np.asarray(batch["flags"]) & 1) > 0).astype(np.float32)
+    shifted["p_target"] = batch["p_target"] + 7.5 * fl
+    t2, _ = loss_fn(state.params, shifted, jax.random.PRNGKey(1), mconf, 0)
+    np.testing.assert_allclose(float(t1), float(t2), rtol=1e-5)
+
+
+def test_set_learning_rate_changes_update():
+    """lr_epoch_mults must actually change the step size
+    (run_epoch.lua:40-48): same batch, lr x0.1 -> smaller update norm."""
+    from fluidnet_tpu.train.train import set_learning_rate
+    rng = np.random.default_rng(46)
+    mconf = ModelConfig(is_3d=False, long_term_div_lambda=0.0)
+    batch = make_batch(rng)
+
+    def update_norm(scale):
+        state = init_train_state(jax.random.PRNGKey(0), mconf)
+        state = set_learning_rate(
+            state, mconf.optim.learning_rate * scale)
+        state2, _ = train_step(state, batch, jax.random.PRNGKey(1), mconf,
+                               n_future=0)
+        diffs = jax.tree_util.tree_map(lambda a, b: a - b, state2.params,
+                                       state.params)
+        import optax
+        return float(optax.global_norm(diffs))
+
+    n_full, n_small = update_norm(1.0), update_norm(0.1)
+    assert n_small < n_full * 0.5, (n_full, n_small)
+
+
 def test_grad_norm_clipped():
     rng = np.random.default_rng(42)
     mconf = ModelConfig(is_3d=False, grad_norm_threshold=1.0)
