@@ -302,41 +302,39 @@ def advect_vel_fast(dt, u, flags, method, maccormack_strength, window,
     if method in ("euler", "eulerOurs"):
         return apply_border(sl(u, dt))
 
-    fwd = apply_border(sl(u, dt))
-    bwd = apply_border(sl(fwd, -dt))
-    from fluidnet_tpu.ops.advect import _maccormack_correct_mac
-    dst = _maccormack_correct_mac(u, fwd, bwd, flags, maccormack_strength,
-                                  is_3d)
-
-    # MacCormackClampMAC: per-component corner min/max around both lookups.
-    macs = [get_at_mac_x(u, is_3d), get_at_mac_y(u, is_3d)]
-    if is_3d:
-        macs.append(get_at_mac_z(u, is_3d))
+    # MacCormack: the fwd (-dt) and bwd (+dt) sweeps visit exactly the
+    # clamp-lookup cells of MacCormackClampMAC's two sign directions
+    # (tfluids.cc:748-776: clamp(trunc(i + sign*vel))), so the per-
+    # component corner min/max fields ride each sweep as aux channels of
+    # the same kernel call — no separate clamp gathers. For in-window
+    # velocities this is bit-equal to the standalone lookup; past the CFL
+    # window (and for the 'Ours' free-space-scaled traces) the bounds come
+    # from the cell actually sampled, a documented fast-path deviation.
     C = u.shape[1]
     pairs = []
     for c in range(C):
         mn2, mx2 = _corner_minmax_fields(u[:, c:c + 1], is_3d)
-        pairs.append(jnp.concatenate([mn2, mx2], axis=1))
-    packed = jnp.stack(pairs, axis=1)  # (b, C groups, 2, z, y, x)
-    mn = mx = None
-    for sign in (-1.0, 1.0):
-        cxs, cys, czs = [], [], []
-        for c, mac in enumerate(macs):
-            cx, cy, cz = _clamp_lookup_cells(
-                mac[:, 0] * dt, mac[:, 1] * dt, mac[:, 2] * dt, sign,
-                flags.shape, is_3d, W, None)
-            cxs.append(cx)
-            cys.append(cy)
-            czs.append(cz)
-        # One grouped nearest gather: the (mn, mx) pair of each component
-        # shares its lookup cell, and nearest-mode indicator weights are
-        # cheaper to build than trilinear corner weights.
-        pxc = jnp.stack(cxs, 1).astype(jnp.float32) + 0.5
-        pyc = jnp.stack(cys, 1).astype(jnp.float32) + 0.5
-        pzc = jnp.stack(czs, 1).astype(jnp.float32) + 0.5
-        g = warp_group(packed, pxc, pyc, pzc, window=W, nearest=True)
-        g_mn, g_mx = g[:, :, 0], g[:, :, 1]
-        mn = g_mn if mn is None else jnp.minimum(mn, g_mn)
-        mx = g_mx if mx is None else jnp.maximum(mx, g_mx)
+        pairs.append(jnp.concatenate([u[:, c:c + 1], mn2, mx2], axis=1))
+    packed = jnp.stack(pairs, axis=1)      # (b, C, [src mn mx], z, y, x)
+
+    def sweep(src_packed, dt_):
+        (px, py, pz), _ = _mac_positions(u, flags, dt_, is_3d, W, ours, free)
+        out = warp_group(src_packed, px, py, pz, window=W, aux=2)
+        warped = out[:, :, 0]
+        if ours:
+            warped = jnp.where(fl, warped, src_packed[:, :, 0])
+        return warped, out[:, :, 1], out[:, :, 2]
+
+    fwd, mn_f, mx_f = sweep(packed, dt)
+    fwd = apply_border(fwd)
+    packed_b = jnp.concatenate(
+        [fwd[:, :, None], packed[:, :, 1:]], axis=2)
+    bwd, mn_b, mx_b = sweep(packed_b, -dt)
+    bwd = apply_border(bwd)
+    from fluidnet_tpu.ops.advect import _maccormack_correct_mac
+    dst = _maccormack_correct_mac(u, fwd, bwd, flags, maccormack_strength,
+                                  is_3d)
+    mn = jnp.minimum(mn_f, mn_b)
+    mx = jnp.maximum(mx_f, mx_b)
     clamped = jnp.clip(dst, mn, mx)
     return jnp.where(border, dst, clamped)

@@ -87,10 +87,24 @@ def _nearest_weights(p, n_idx, iota, W):
     return [(i == iota + o).astype(p.dtype) for o in range(-W, W + 1)]
 
 
+def _aux_corner_weights(p, n_idx, iota, W):
+    """Indicator weights at the MacCormack clamp-lookup cell: the
+    reference computes clamp(trunc(i + sign*vel), 0, gridUpper-1)
+    (tfluids.cc doClampComponent lookups); with the warp position
+    px = i + 0.5 + sign*vel this is trunc(px - 0.5), window- and
+    border-clipped exactly like advect_fast._clamp_lookup_cells."""
+    c = jnp.trunc(p).astype(jnp.int32)          # p is already position-0.5
+    c = jnp.clip(c, iota - W, iota + W)
+    c = jnp.clip(c, 0, n_idx - 2)
+    return [(c == iota + o).astype(p.dtype) for o in range(-W, W + 1)]
+
+
 def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
-                       sem, *, W, Z, Y, X, Yt, Xt, F, nearest):
+                       sem, *, W, Z, Y, X, Yt, Xt, F, nearest, aux):
     # Z/Y/X: padded block sizes; Yt/Xt: true domain extents for the
     # BUILD_INDEX border clamps; F channels share this program's positions.
+    # The last `aux` channels are gathered at the clamp-lookup cell
+    # (indicator weights) instead of trilinearly warped.
     bg = pl.program_id(0)
     k = pl.program_id(1)
     noff = 2 * W + 1
@@ -136,6 +150,17 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
             wz_list = [jnp.full((Y, X), 1.0 if o == 0 else 0.0, px.dtype)
                        for o in range(-W, W + 1)]
 
+    if aux:
+        ax = _aux_corner_weights(px, Xt, ii, W)
+        ay = _aux_corner_weights(py, Yt, jj, W)
+        if Z > 1:
+            cz = jnp.clip(jnp.trunc(pz).astype(jnp.int32), k - W, k + W)
+            cz = jnp.clip(cz, 0, Z - 2)
+            az = [(cz == k + o).astype(px.dtype) for o in range(-W, W + 1)]
+        else:
+            az = [jnp.full((Y, X), 1.0 if o == 0 else 0.0, px.dtype)
+                  for o in range(-W, W + 1)]
+
     dma.wait()
 
     accs = [jnp.zeros((Y, X), jnp.float32) for _ in range(F)]
@@ -144,15 +169,19 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
     oz_range = range(noff) if Z > 1 else [W]
     for ozi in oz_range:
         wz = wz_list[ozi]
+        az_o = az[ozi] if aux else None
         for oyi, oy in enumerate(range(off_lo, off_lo + noff)):
             wzy = wz * wy[oyi]
+            azy = az_o * ay[oyi] if aux else None
             rolled = [pltpu.roll(scratch[f, ozi], (-oy) % Y, 0) if Y > 1
                       else scratch[f, ozi] for f in range(F)]
             for oxi, ox in enumerate(range(off_lo, off_lo + noff)):
                 wfull = wzy * wx[oxi]
+                afull = azy * ax[oxi] if aux else None
                 for f in range(F):
+                    wt = afull if f >= F - aux else wfull
                     accs[f] = accs[f] + \
-                        pltpu.roll(rolled[f], (-ox) % X, 1) * wfull
+                        pltpu.roll(rolled[f], (-ox) % X, 1) * wt
     for f in range(F):
         out_ref[0, f, 0] = accs[f]
 
@@ -163,6 +192,13 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
 # Pallas kernel itself is not differentiable). Positions get zero
 # cotangents — matching the reference, whose backtraces are treated as
 # constants in every hand-written adjoint.
+
+def _aux_weights_xla(p, iota, n_idx, W):
+    c = jnp.trunc(p - 0.5).astype(jnp.int32)
+    c = jnp.clip(c, iota - W, iota + W)
+    c = jnp.clip(c, 0, n_idx - 2)
+    return [(c == iota + o).astype(p.dtype) for o in range(-W, W + 1)]
+
 
 def _weights_xla(p, iota, n_idx, W, nearest):
     p = p - 0.5
@@ -190,11 +226,15 @@ def _shiftn(a, off, axis):
     return shift(a, off, axis)
 
 
-def _warp_transpose_xla(g, px, py, pz, window, nearest, ZYX):
-    """grad_fields(s) = sum_o shift(g * w_o, -o): the adjoint scatter."""
+def _warp_transpose_xla(g, px, py, pz, window, nearest, aux, ZYX):
+    """grad_fields(s) = sum_o shift(g * w_o, -o): the adjoint scatter.
+
+    The last `aux` F channels scatter with the clamp-cell indicator
+    weights (matching the forward's aux mode)."""
     W = int(window)
     Z, Y, X = ZYX
     b, G = px.shape[:2]
+    F = g.shape[2]
     sh = px.shape
     ix = jax.lax.broadcasted_iota(jnp.int32, sh, 4)
     iy = jax.lax.broadcasted_iota(jnp.int32, sh, 3)
@@ -207,14 +247,26 @@ def _warp_transpose_xla(g, px, py, pz, window, nearest, ZYX):
         n = len(wx)
         wz = [jnp.full(sh, 1.0 if o == W else 0.0, px.dtype)
               for o in range(n)]
+    if aux:
+        axw = _aux_weights_xla(px, ix, X, W)
+        ayw = _aux_weights_xla(py, iy, Y, W)
+        if Z > 1:
+            azw = _aux_weights_xla(pz, iz, Z, W)
+        else:
+            azw = [jnp.full(sh, 1.0 if o == W else 0.0, px.dtype)
+                   for o in range(len(axw))]
     off_lo = -W
     grad = jnp.zeros_like(g)
     for ozi, wzo in enumerate(wz):
         for oyi, wyo in enumerate(wy):
             wzy = wzo * wyo
+            azy = (azw[ozi] * ayw[oyi]) if aux else None
             for oxi, wxo in enumerate(wx):
                 w = (wzy * wxo)[:, :, None]        # broadcast over F
-                t = g * w
+                t = g[:, :, :F - aux] * w
+                if aux:
+                    a = (azy * axw[oxi])[:, :, None]
+                    t = jnp.concatenate([t, g[:, :, F - aux:] * a], axis=2)
                 oz, oy, ox = off_lo + ozi, off_lo + oyi, off_lo + oxi
                 if oz and Z > 1:
                     t = _shiftn(t, -oz, -3)
@@ -226,19 +278,20 @@ def _warp_transpose_xla(g, px, py, pz, window, nearest, ZYX):
     return grad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _warp_group(fields, px, py, pz, window, nearest):
-    return _warp_group_impl(fields, px, py, pz, window, nearest)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _warp_group(fields, px, py, pz, window, nearest, aux=0):
+    return _warp_group_impl(fields, px, py, pz, window, nearest, aux)
 
 
-def _warp_group_fwd(fields, px, py, pz, window, nearest):
-    out = _warp_group_impl(fields, px, py, pz, window, nearest)
+def _warp_group_fwd(fields, px, py, pz, window, nearest, aux):
+    out = _warp_group_impl(fields, px, py, pz, window, nearest, aux)
     return out, (px, py, pz, fields.shape[3:])
 
 
-def _warp_group_bwd(window, nearest, res, g):
+def _warp_group_bwd(window, nearest, aux, res, g):
     px, py, pz, ZYX = res
-    grad_fields = _warp_transpose_xla(g, px, py, pz, window, nearest, ZYX)
+    grad_fields = _warp_transpose_xla(g, px, py, pz, window, nearest, aux,
+                                      ZYX)
     return (grad_fields, jnp.zeros_like(px), jnp.zeros_like(py),
             jnp.zeros_like(pz))
 
@@ -246,8 +299,8 @@ def _warp_group_bwd(window, nearest, res, g):
 _warp_group.defvjp(_warp_group_fwd, _warp_group_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "nearest"))
-def _warp_group_impl(fields, px, py, pz, window, nearest):
+@functools.partial(jax.jit, static_argnames=("window", "nearest", "aux"))
+def _warp_group_impl(fields, px, py, pz, window, nearest, aux=0):
     """fields: (b, G, F, Z, Y, X); positions (b, G, Z, Y, X) shared by the
     F channels of each group. Returns (b, G, F, Z, Y, X)."""
     W = int(window)
@@ -277,7 +330,7 @@ def _warp_group_impl(fields, px, py, pz, window, nearest):
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_warp_group_kernel, W=W, Z=Z, Y=Yp, X=Xp,
-                          Yt=Y, Xt=X, F=F, nearest=nearest),
+                          Yt=Y, Xt=X, F=F, nearest=nearest, aux=aux),
         grid=(b * G, Z),
         in_specs=[
             pos_spec, pos_spec, pos_spec,
@@ -316,10 +369,14 @@ def warp_trilinear_shared(fields, px, py, pz, window: int = DEFAULT_WINDOW):
 
 
 def warp_group(fields, px, py, pz, window: int = DEFAULT_WINDOW,
-               nearest: bool = False):
+               nearest: bool = False, aux: int = 0):
     """Raw grouped interface: fields (b, G, F, Z, Y, X), positions
-    (b, G, z, y, x)."""
-    return _warp_group(fields, px, py, pz, window, nearest)
+    (b, G, z, y, x). The last `aux` F channels are gathered at the
+    MacCormack clamp-lookup cell (trunc(pos - 0.5), window/border clipped
+    like advect_fast._clamp_lookup_cells) instead of warped — fusing the
+    clamp-bound lookups into the advection sweep that already visits the
+    same cells."""
+    return _warp_group(fields, px, py, pz, window, nearest, aux)
 
 
 def warp_fluid(src, flags, px, py, pz, window: int = DEFAULT_WINDOW):

@@ -41,6 +41,32 @@ def test_model_shapes(is3d, model_type):
     assert np.all(np.isfinite(np.asarray(u_out)))
 
 
+@pytest.mark.parametrize("model_type", ["default", "yang"])
+def test_trunk_nhwc_matches_generic(model_type, monkeypatch):
+    """The channels-last fused trunk is a pure layout change: with f32
+    compute it must match the generic stage path to summation-order
+    tolerance."""
+    import fluidnet_tpu.models.fluidnet as fnet
+    rng = np.random.default_rng(31)
+    mconf = ModelConfig(is_3d=True, model_type=model_type,
+                        conv_compute_dtype="float32")
+    if model_type == "yang":
+        mconf = mconf.replace(nonlin_type="sigmoid",
+                              input_channels=InputChannels(u_div=False))
+    params = init_model(jax.random.PRNGKey(0), mconf)
+    p, u, flags = _inputs(rng, True)
+    osize, _, psize, usize = layer_spec(mconf)
+    assert fnet._trunk_fast_ok(mconf, params, osize, psize, usize)
+    p_fast, u_fast = apply_model(params, mconf, p, u, flags)
+    monkeypatch.setattr(fnet, "_trunk_fast_ok",
+                        lambda *a, **k: False)
+    p_gen, u_gen = apply_model(params, mconf, p, u, flags)
+    np.testing.assert_allclose(np.asarray(p_fast), np.asarray(p_gen),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(u_fast), np.asarray(u_gen),
+                               atol=2e-4)
+
+
 @pytest.mark.parametrize("agg", ["concat", "add"])
 def test_model_mres_banks(agg):
     rng = np.random.default_rng(31)
