@@ -172,10 +172,11 @@ def _lookup_bad(vel_x, vel_y, vel_z, flags, is_3d, W):
 
 
 def advect_scalar_fast(dt, s, u, flags, method, sample_outside_fluid,
-                       maccormack_strength, window, free=None):
+                       maccormack_strength, window, free=None, border=None):
     is_3d = check_shapes(u, flags, s)
     W = int(window)
-    border = border_mask(flags.shape, is_3d, 1)
+    if border is None:
+        border = border_mask(flags.shape, is_3d, 1)
     zero = jnp.zeros_like(s)
     fl = is_fluid(flags)
 
@@ -277,12 +278,13 @@ def _mac_positions(u, flags, dt, is_3d, W, ours, free=None):
 
 
 def advect_vel_fast(dt, u, flags, method, maccormack_strength, window,
-                    free=None):
+                    free=None, border=None):
     is_3d = check_shapes(u, flags)
     W = int(window)
     if method in ("rk2Ours", "rk3Ours"):
         method = "maccormackOurs"  # tfluids.cc:799-802
-    border = border_mask(flags.shape, is_3d, 1)
+    if border is None:
+        border = border_mask(flags.shape, is_3d, 1)
     zero = jnp.zeros_like(u)
     fl = is_fluid(flags)
     ours = method.endswith("Ours")

@@ -64,6 +64,39 @@ def test_batch_sharded_train_step():
                                    atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("method", ["maccormack", "maccormackOurs"])
+def test_z_sharded_advect_matches_unsharded(method):
+    """shard_map halo-exchange advection (the 256^3 stretch path): the
+    Pallas warp runs per-shard on halo-extended slabs and must equal the
+    single-device windowed result exactly (non-border cells never consult
+    the array extent; border cells use the global border mask)."""
+    from fluidnet_tpu.ops.advect_fast import (advect_scalar_fast,
+                                              advect_vel_fast)
+    from fluidnet_tpu.parallel.advect_sharded import advect_step_z_sharded
+    rng = np.random.default_rng(52)
+    B, Z, Y, X = 1, 48, 12, 16
+    W = 1
+    flags = np.asarray(empty_domain((B, 1, Z, Y, X), True)).copy()
+    flags[..., 10:14, 4:8, 5:9] = 2      # obstacles spanning shard cuts
+    flags[..., 22:26, 2:5, 10:14] = 2
+    flags[..., 34:38, 6:9, 3:7] = 2
+    flags = jnp.asarray(flags)
+    u = jnp.asarray(rng.standard_normal((B, 3, Z, Y, X)) * 0.8, jnp.float32)
+    rho = jnp.asarray(rng.random((B, 1, Z, Y, X)), jnp.float32)
+    dt = 0.4
+
+    u_ref = advect_vel_fast(dt, u, flags, method, 0.6, W)
+    d_ref = advect_scalar_fast(dt, rho, u, flags, method, False, 0.6, W)
+
+    mesh = make_mesh(n_dp=1, n_sp=8)
+    u_sh, d_sh = advect_step_z_sharded(dt, u, rho, flags, mesh, method,
+                                       0.6, W)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               atol=1e-5)
+
+
 def test_spatially_sharded_simulate_step():
     """GSPMD path: a 3-D sim step with the grid z-sharded over sp; XLA
     inserts the stencil halo exchanges automatically."""
