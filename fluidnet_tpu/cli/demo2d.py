@@ -92,8 +92,42 @@ def density_to_rgb(density):
     return (img[::-1] * 255).astype(np.uint8)  # flip y for image coords
 
 
+def parse_toggle_script(spec):
+    """Parses '--script 40:sim_method=jacobi;80:dt=0.05,vorticity=2' into
+    {frame: {field: value}} — the headless, reproducible equivalent of the
+    reference demo's runtime keyboard toggles (fluid_net_2d_demo.lua:
+    203-287: solver convnet/jacobi/pcg, advection method, dt, plume,
+    buoyancy/gravity/vorticity switches)."""
+    events = {}
+    if not spec:
+        return events
+    aliases = {"vorticity": "vorticity_confinement_amp",
+               "buoyancy": "buoyancy_scale", "gravity": "gravity_scale",
+               "advection": "advection_method"}
+    for part in spec.split(";"):
+        frame_s, kvs = part.split(":", 1)
+        ev = {}
+        for kv in kvs.split(","):
+            k, v = kv.split("=", 1)
+            k = aliases.get(k.strip(), k.strip())
+            vs = v.strip()
+            if vs.lstrip("-").isdigit():
+                v = int(vs)
+            else:
+                try:
+                    v = float(vs)
+                except ValueError:
+                    v = vs
+            if k == "plume":
+                v = v in ("1", "on", "true", 1.0)
+            ev[k] = v
+        events[int(frame_s)] = ev
+    return events
+
+
 def run(args):
     res = args.res
+    toggles = parse_toggle_script(args.script)
     if args.model:
         mconf = load_mconf(args.model)
         assert not mconf.is_3d, "demo2d needs a 2-D model"
@@ -121,17 +155,32 @@ def run(args):
         density=jnp.zeros((B, 3, Z, Y, X), jnp.float32))
     bcs = create_plume_bcs(state, [1.0, 0.8, 0.3], u_scale=0.6, rad=0.15)
 
-    def model_fn(pr, p, u, f):
-        return apply_model(pr, mconf, p, u, f)
+    def make_step(mc):
+        def model_fn(pr, p, u, f):
+            return apply_model(pr, mc, p, u, f)
+        return jax.jit(lambda s, prm, b: simulate(
+            s, mc, model_fn if mc.sim_method == "convnet" else None,
+            prm, b))
 
-    step = jax.jit(lambda s, prm, b: simulate(
-        s, mconf, model_fn if mconf.sim_method == "convnet" else None,
-        prm, b))
+    step = make_step(mconf)
 
     os.makedirs(args.out_dir, exist_ok=True)
     t_start = time.perf_counter()
     n_img = 0
     for i in range(args.frames):
+        if i in toggles:
+            ev = dict(toggles[i])
+            plume = ev.pop("plume", None)
+            if plume is not None:
+                bcs = create_plume_bcs(state, [1.0, 0.8, 0.3], u_scale=0.6,
+                                       rad=0.15) if plume else None
+            if ev:
+                if ev.get("sim_method") == "convnet" and params is None:
+                    params = init_train_state(jax.random.PRNGKey(0),
+                                              mconf).params
+                mconf = mconf.replace(**ev)
+                step = make_step(mconf)  # jit cache keyed per config
+            print(f"  frame {i}: toggled {toggles[i]}")
         if args.splats and i % 40 == 20:
             c = (rng.integers(res // 4, 3 * res // 4),
                  rng.integers(res // 4, 3 * res // 4))
@@ -170,6 +219,11 @@ def main(argv=None):
                     help="also write velocity-arrow overlays (the GL "
                          "drawVelocityField equivalent)")
     ap.add_argument("--out_dir", default="data/output/demo2d")
+    ap.add_argument("--script", default="", help="runtime toggle script "
+                    "'FRAME:key=val,key=val;FRAME:...' — keys: sim_method, "
+                    "advection, dt, plume, buoyancy, gravity, vorticity, "
+                    "max_iter (the reference demo's keyboard switches, "
+                    "fluid_net_2d_demo.lua:203-287)")
     run(ap.parse_args(argv))
 
 

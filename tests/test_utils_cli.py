@@ -102,6 +102,25 @@ def test_demo2d_cli_smoke(tmp_path):
         assert f.read(8) == b"\x89PNG\r\n\x1a\n"
 
 
+def test_demo2d_runtime_toggles(tmp_path):
+    """The scripted runtime switches (the reference demo's keyboard
+    toggles, fluid_net_2d_demo.lua:203-287): solver and parameters change
+    mid-run without restarting; the sim stays finite across switches."""
+    from fluidnet_tpu.cli.demo2d import main, parse_toggle_script
+    ev = parse_toggle_script(
+        "2:sim_method=convnet;4:dt=0.05,vorticity=2.0;6:plume=off")
+    assert ev[2] == {"sim_method": "convnet"}
+    assert ev[4] == {"dt": 0.05, "vorticity_confinement_amp": 2.0}
+    assert ev[6] == {"plume": False}
+    out = str(tmp_path / "demo_t")
+    main(["--res", "32", "--frames", "8", "--save_every", "2",
+          "--sim_method", "jacobi", "--max_iter", "15", "--out_dir", out,
+          "--script",
+          "2:sim_method=convnet;4:sim_method=jacobi,dt=0.05;6:plume=off"])
+    pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert len(pngs) == 4
+
+
 def test_sim3d_cli_smoke(tmp_path):
     from fluidnet_tpu.cli.sim3d import main
     out = str(tmp_path / "sim3d")
