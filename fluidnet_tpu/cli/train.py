@@ -23,7 +23,16 @@ import jax
 import jax.numpy as jnp
 
 from fluidnet_tpu.core.config import default_conf, parse_args, save_parameters
-from fluidnet_tpu.data.dataset import FluidDataset, PrefetchLoader
+from fluidnet_tpu.data.dataset import (DeviceDataset, FluidDataset,
+                                        PrefetchLoader)
+
+
+def _dataset_gb(ds) -> float:
+    """Approximate device-resident size of a FluidDataset in GB."""
+    sample = ds.get_batch([0])
+    per = sum(v.nbytes for v in sample.values()
+              if hasattr(v, "nbytes")) / 1e9
+    return per * len(ds)
 from fluidnet_tpu.data.generate import generate_dataset
 from fluidnet_tpu.sim.simulate import simulate  # noqa: F401 (stats path)
 from fluidnet_tpu.train.train import (eval_step, init_train_state,
@@ -133,10 +142,20 @@ def run_training(conf, argv_done=True):
               f"elements: {peak:,}; FPROP {t * 1e3:.3f} ms/batch")
 
     logger = Logger(model_path + "_log.tsv", LOG_COLUMNS)
-    tr_loader = PrefetchLoader(tr, conf.batch_size, conf.num_data_threads,
-                               shuffle=True, seed=conf.seed)
-    te_loader = PrefetchLoader(te, conf.batch_size, conf.num_data_threads,
-                               shuffle=False)
+    use_dev_cache = conf.device_data_cache and \
+        _dataset_gb(tr) + _dataset_gb(te) <= conf.device_data_cache_max_gb
+    if use_dev_cache:
+        print("==> Uploading dataset to device HBM (one-time; batches "
+              "become on-device gathers)")
+        tr_loader = DeviceDataset(tr, conf.batch_size, shuffle=True,
+                                  seed=conf.seed)
+        te_loader = DeviceDataset(te, conf.batch_size, shuffle=False)
+    else:
+        tr_loader = PrefetchLoader(tr, conf.batch_size,
+                                   conf.num_data_threads,
+                                   shuffle=True, seed=conf.seed)
+        te_loader = PrefetchLoader(te, conf.batch_size,
+                                   conf.num_data_threads, shuffle=False)
     max_batches = (conf.max_samples_per_epoch // conf.batch_size
                    if conf.max_samples_per_epoch else 0)
 

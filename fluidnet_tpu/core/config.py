@@ -136,6 +136,11 @@ class Config:
     model_dir: str = "data/models"
     model_filename: str = "conv_model"
     num_data_threads: int = 8
+    # Upload the whole dataset to device HBM once and gather batches
+    # on-device (see data.dataset.DeviceDataset); falls back to the
+    # threaded host loader when the dataset exceeds the budget.
+    device_data_cache: bool = True
+    device_data_cache_max_gb: float = 8.0
     profile: bool = True
     resume_training: bool = False
     train: bool = True

@@ -79,6 +79,25 @@ def test_prefetch_loader_delivers_every_sample_once(tmp_path):
     assert sorted(seen) == list(range(len(ds)))
 
 
+def test_device_dataset_matches_host_loader(tmp_path):
+    """DeviceDataset (HBM-resident batches for slow host->device links)
+    yields the same batches as the host path, every sample once."""
+    from fluidnet_tpu.data.dataset import DeviceDataset
+    root = str(tmp_path / "ds")
+    generate_dataset(root, n_tr=1, n_te=0, seed=1, size_xyz=(16, 16, 1),
+                     is_3d=False, n_frames=7, max_iter=40)
+    ds = FluidDataset(str(tmp_path), "ds", "tr")
+    dev = DeviceDataset(ds, batch_size=3, shuffle=False, upload_chunk=2)
+    seen = []
+    for batch, idx in dev.epoch():
+        host = ds.get_batch(list(idx))
+        for k in ("p_div", "u_div", "flags", "p_target", "u_target",
+                  "density"):
+            np.testing.assert_array_equal(np.asarray(batch[k]), host[k])
+        seen.extend(int(i) for i in idx)
+    assert sorted(seen) == list(range(len(ds)))
+
+
 def test_vbox_roundtrip(tmp_path):
     rng = np.random.default_rng(62)
     path = str(tmp_path / "out.vbox")
