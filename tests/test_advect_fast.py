@@ -113,6 +113,55 @@ def test_ours_fast_vel_with_obstacles():
     assert np.abs(out).max() <= np.abs(np.asarray(u)).max() + 1e-3
 
 
+@pytest.mark.parametrize("p_obstacle", [0.15, 0.4])
+def test_warp_fluid_drift_vs_cascade(p_obstacle):
+    """Quantifies the renormalized-vs-cascade fluid-interp deviation on
+    obstacle-heavy scenes (a documented fast-path deviation): identical
+    where the non-fluid corners form whole faces/edges, bounded by the
+    local value range in general, and small on average."""
+    from fluidnet_tpu.ops.interp import interpol_with_fluid
+    from fluidnet_tpu.ops.pallas.warp import clamp_displacement, warp_fluid
+    rng = np.random.default_rng(95)
+    flags, u, s = small_case(rng, True, vel_scale=0.0,
+                             p_obstacle=p_obstacle)
+    B, _, Z, Y, X = flags.shape
+    W = 2
+    dx = jnp.asarray(rng.uniform(-1.8, 1.8, (B, Z, Y, X)), jnp.float32)
+    dy = jnp.asarray(rng.uniform(-1.8, 1.8, (B, Z, Y, X)), jnp.float32)
+    dz = jnp.asarray(rng.uniform(-1.8, 1.8, (B, Z, Y, X)), jnp.float32)
+    dx, dy, dz = clamp_displacement(dx, dy, dz, W)
+    ii = jnp.asarray(np.arange(X, dtype=np.float32)) + 0.5
+    px = jnp.clip(ii[None, None, None] + dx, 0.6, X - 0.6)
+    jj = jnp.asarray(np.arange(Y, dtype=np.float32)) + 0.5
+    py = jnp.clip(jj[None, None, :, None] + dy, 0.6, Y - 0.6)
+    kk = jnp.asarray(np.arange(Z, dtype=np.float32)) + 0.5
+    pz = jnp.clip(kk[None, :, None, None] + dz, 0.6, Z - 0.6)
+
+    fast = np.asarray(warp_fluid(s, flags, px, py, pz, window=W))[:, 0]
+    exact = np.asarray(interpol_with_fluid(s, flags, px, py, pz, True))[:, 0]
+    diff = np.abs(fast - exact)
+    # Both interpolate within the corner-value range, so the drift is
+    # bounded by the source range; on random scenes the mean drift stays
+    # well under the field scale.
+    rng_span = float(np.asarray(s).max() - np.asarray(s).min())
+    assert diff.max() <= rng_span + 1e-5
+    assert diff.mean() < 0.05 * rng_span, (diff.mean(), rng_span)
+    # Where every corner is fluid, the two are identical (weights sum 1).
+    fl_all = np.asarray((np.asarray(flags) & 1) > 0)[0, 0]
+    interior_fluid = fl_all.copy()
+    for ax in range(3):
+        interior_fluid &= np.roll(fl_all, 1, ax) & np.roll(fl_all, -1, ax)
+    # Positions landing fully inside fluid regions: sample a conservative
+    # subset (cells whose whole +-2 window is fluid).
+    safe = interior_fluid.copy()
+    for ax in range(3):
+        for o in (1, 2, -1, -2):
+            safe &= np.roll(interior_fluid, o, ax)
+    if safe.any():
+        np.testing.assert_allclose(fast[0][safe], exact[0][safe],
+                                   atol=1e-4)
+
+
 def test_chebyshev_free_space():
     flags = np.asarray(empty_domain((1, 1, 1, 8, 16), False)).copy()
     flags[0, 0, 0, 4, 8] = 2
