@@ -159,20 +159,30 @@ class DeviceDataset:
                                                   "density"),
                  shuffle=True, seed=0, upload_chunk=32):
         import jax.numpy as jnp
+        import jax
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         n = len(dataset)
-        parts = {k: [] for k in keys}
+        first = dataset.get_batch([0])
+        keys = [k for k in keys if k in first]
+        # Fill one preallocated buffer per field with donated updates so
+        # peak HBM stays at dataset size + one chunk (a concatenate of
+        # chunks would double it).
+        upd = jax.jit(
+            lambda buf, c, lo: jax.lax.dynamic_update_slice(
+                buf, c, (lo,) + (0,) * (c.ndim - 1)),
+            donate_argnums=0)
+        self.dev = {k: jnp.zeros((n,) + first[k].shape[1:],
+                                 jnp.asarray(first[k]).dtype)
+                    for k in keys}
         for lo in range(0, n, upload_chunk):
             idx = list(range(lo, min(lo + upload_chunk, n)))
             host = dataset.get_batch(idx)
             for k in keys:
-                if k in host:
-                    parts[k].append(jnp.asarray(host[k]))
-        self.dev = {k: jnp.concatenate(v, axis=0)
-                    for k, v in parts.items() if v}
+                self.dev[k] = upd(self.dev[k], jnp.asarray(host[k]),
+                                  jnp.asarray(lo))
 
     def epoch(self, drop_last=False, max_batches=0):
         import jax.numpy as jnp

@@ -306,33 +306,34 @@ def advect_vel_fast(dt, u, flags, method, maccormack_strength, window,
 
     # MacCormack: the fwd (-dt) and bwd (+dt) sweeps visit exactly the
     # clamp-lookup cells of MacCormackClampMAC's two sign directions
-    # (tfluids.cc:748-776: clamp(trunc(i + sign*vel))), so the per-
-    # component corner min/max fields ride each sweep as aux channels of
-    # the same kernel call — no separate clamp gathers. For in-window
-    # velocities this is bit-equal to the standalone lookup; past the CFL
-    # window (and for the 'Ours' free-space-scaled traces) the bounds come
-    # from the cell actually sampled, a documented fast-path deviation.
-    C = u.shape[1]
-    pairs = []
-    for c in range(C):
-        mn2, mx2 = _corner_minmax_fields(u[:, c:c + 1], is_3d)
-        pairs.append(jnp.concatenate([u[:, c:c + 1], mn2, mx2], axis=1))
-    packed = jnp.stack(pairs, axis=1)      # (b, C, [src mn mx], z, y, x)
-
-    def sweep(src_packed, dt_):
+    # (tfluids.cc:748-776: clamp(trunc(i + sign*vel)) is the window-
+    # clamped position's base corner), so the kernel emits min/max of u
+    # over each sweep's corner support in the same pass — no separate
+    # clamp gathers and no precomputed min/max fields. For in-window
+    # velocities this equals the standalone lookup; past the CFL window
+    # (and for the 'Ours' free-space-scaled traces) the bounds come from
+    # the cell actually sampled, a documented fast-path deviation.
+    def sweep(fields, dt_):
+        # fields (b, C, F, z, y, x); channel 0 is the clamp-bound source.
         (px, py, pz), _ = _mac_positions(u, flags, dt_, is_3d, W, ours, free)
-        out = warp_group(src_packed, px, py, pz, window=W, aux=2)
-        warped = out[:, :, 0]
-        if ours:
-            warped = jnp.where(fl, warped, src_packed[:, :, 0])
-        return warped, out[:, :, 1], out[:, :, 2]
+        return warp_group(fields, px, py, pz, window=W, minmax=True)
 
-    fwd, mn_f, mx_f = sweep(packed, dt)
+    o1 = sweep(u[:, :, None], dt)          # [warp(u), mn, mx]
+    fwd = o1[:, :, 0]
+    if ours:
+        fwd = jnp.where(fl, fwd, u)
     fwd = apply_border(fwd)
-    packed_b = jnp.concatenate(
-        [fwd[:, :, None], packed[:, :, 1:]], axis=2)
-    bwd, mn_b, mx_b = sweep(packed_b, -dt)
+    mn_f, mx_f = o1[:, :, 1], o1[:, :, 2]
+
+    # bwd: channel 0 stays u (bounds source); channel 1 is the advected
+    # fwd field (its channel-0 warp output is discarded).
+    o2 = sweep(jnp.stack([u, fwd], axis=2), -dt)
+    bwd = o2[:, :, 1]
+    if ours:
+        bwd = jnp.where(fl, bwd, fwd)
     bwd = apply_border(bwd)
+    mn_b, mx_b = o2[:, :, 2], o2[:, :, 3]
+
     from fluidnet_tpu.ops.advect import _maccormack_correct_mac
     dst = _maccormack_correct_mac(u, fwd, bwd, flags, maccormack_strength,
                                   is_3d)

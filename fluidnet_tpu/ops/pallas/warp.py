@@ -75,8 +75,15 @@ def _corner_weights(p, n_idx, iota, W):
     i = jnp.where(hi, n_idx - 2, i)
     w0 = jnp.where(hi, 0.0, w0)
     w1 = jnp.where(hi, 1.0, w1)
-    return [w0 * (i == iota + o) + w1 * (i == iota + o - 1)
-            for o in range(-W, W + 1)]
+    # ind(o) = [i == x+o]; weight(o) = w0*ind(o) + w1*ind(o-1); the corner
+    # SUPPORT indicator (cells {i, i+1}, used by the minmax outputs) is
+    # sup(o) = ind(o) + ind(o-1).
+    ind = [(i == iota + o).astype(p.dtype) for o in range(-W, W + 1)]
+    weights = [w0 * ind[oi] + (w1 * ind[oi - 1] if oi > 0 else 0.0)
+               for oi in range(2 * W + 1)]
+    sup = [ind[oi] + (ind[oi - 1] if oi > 0 else 0.0)
+           for oi in range(2 * W + 1)]
+    return weights, sup
 
 
 def _nearest_weights(p, n_idx, iota, W):
@@ -87,24 +94,15 @@ def _nearest_weights(p, n_idx, iota, W):
     return [(i == iota + o).astype(p.dtype) for o in range(-W, W + 1)]
 
 
-def _aux_corner_weights(p, n_idx, iota, W):
-    """Indicator weights at the MacCormack clamp-lookup cell: the
-    reference computes clamp(trunc(i + sign*vel), 0, gridUpper-1)
-    (tfluids.cc doClampComponent lookups); with the warp position
-    px = i + 0.5 + sign*vel this is trunc(px - 0.5), window- and
-    border-clipped exactly like advect_fast._clamp_lookup_cells."""
-    c = jnp.trunc(p).astype(jnp.int32)          # p is already position-0.5
-    c = jnp.clip(c, iota - W, iota + W)
-    c = jnp.clip(c, 0, n_idx - 2)
-    return [(c == iota + o).astype(p.dtype) for o in range(-W, W + 1)]
-
-
 def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
-                       sem, *, W, Z, Y, X, Yt, Xt, F, nearest, aux):
+                       sem, *, W, Z, Y, X, Yt, Xt, F, nearest, minmax):
     # Z/Y/X: padded block sizes; Yt/Xt: true domain extents for the
     # BUILD_INDEX border clamps; F channels share this program's positions.
-    # The last `aux` channels are gathered at the clamp-lookup cell
-    # (indicator weights) instead of trilinearly warped.
+    # With minmax=True, two extra output channels carry min/max of channel
+    # 0 over the interpolation's corner support {i, i+1}^3 — exactly the
+    # corner set of the reference's MacCormack clamp lookup cell
+    # (tfluids.cc doClampComponent: clamp(trunc(i + sign*vel)) equals the
+    # window-clamped position's base corner).
     bg = pl.program_id(0)
     k = pl.program_id(1)
     noff = 2 * W + 1
@@ -120,6 +118,7 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
     ii = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
 
+    sx = sy = sz_list = None
     if nearest:
         wx = _nearest_weights(px, Xt, ii, W)
         wy = _nearest_weights(py, Yt, jj, W)
@@ -130,8 +129,8 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
                   [jnp.full((Y, X), 1.0 if o == 0 else 0.0, px.dtype)
                    for o in range(-W, W + 1)]
     else:
-        wx = _corner_weights(px, Xt, ii, W)
-        wy = _corner_weights(py, Yt, jj, W)
+        wx, sx = _corner_weights(px, Xt, ii, W)
+        wy, sy = _corner_weights(py, Yt, jj, W)
         if Z > 1:
             zi = jnp.floor(pz).astype(jnp.int32)
             f1 = pz - zi.astype(pz.dtype)
@@ -144,46 +143,50 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
             zi = jnp.where(hiz, Z - 2, zi)
             f0 = jnp.where(hiz, 0.0, f0)
             f1 = jnp.where(hiz, 1.0, f1)
-            wz_list = [f0 * (zi == k + o) + f1 * (zi == k + o - 1)
-                       for o in range(-W, W + 1)]
+            indz = [(zi == k + o).astype(px.dtype)
+                    for o in range(-W, W + 1)]
+            wz_list = [f0 * indz[oi] + (f1 * indz[oi - 1] if oi > 0
+                                        else 0.0)
+                       for oi in range(noff)]
+            sz_list = [indz[oi] + (indz[oi - 1] if oi > 0 else 0.0)
+                       for oi in range(noff)]
         else:
             wz_list = [jnp.full((Y, X), 1.0 if o == 0 else 0.0, px.dtype)
                        for o in range(-W, W + 1)]
-
-    if aux:
-        ax = _aux_corner_weights(px, Xt, ii, W)
-        ay = _aux_corner_weights(py, Yt, jj, W)
-        if Z > 1:
-            cz = jnp.clip(jnp.trunc(pz).astype(jnp.int32), k - W, k + W)
-            cz = jnp.clip(cz, 0, Z - 2)
-            az = [(cz == k + o).astype(px.dtype) for o in range(-W, W + 1)]
-        else:
-            az = [jnp.full((Y, X), 1.0 if o == 0 else 0.0, px.dtype)
-                  for o in range(-W, W + 1)]
+            sz_list = wz_list
 
     dma.wait()
 
     accs = [jnp.zeros((Y, X), jnp.float32) for _ in range(F)]
+    if minmax:
+        mn = jnp.full((Y, X), jnp.inf, jnp.float32)
+        mx = jnp.full((Y, X), -jnp.inf, jnp.float32)
     # 2-D grids (Z == 1): only the zero z-offset carries weight; skipping
     # the other slices cuts the tap count by (2W+1)x.
     oz_range = range(noff) if Z > 1 else [W]
     for ozi in oz_range:
         wz = wz_list[ozi]
-        az_o = az[ozi] if aux else None
+        sz_o = sz_list[ozi] if minmax else None
         for oyi, oy in enumerate(range(off_lo, off_lo + noff)):
             wzy = wz * wy[oyi]
-            azy = az_o * ay[oyi] if aux else None
+            szy = sz_o * sy[oyi] if minmax else None
             rolled = [pltpu.roll(scratch[f, ozi], (-oy) % Y, 0) if Y > 1
                       else scratch[f, ozi] for f in range(F)]
             for oxi, ox in enumerate(range(off_lo, off_lo + noff)):
                 wfull = wzy * wx[oxi]
-                afull = azy * ax[oxi] if aux else None
+                vals = [pltpu.roll(rolled[f], (-ox) % X, 1)
+                        for f in range(F)]
                 for f in range(F):
-                    wt = afull if f >= F - aux else wfull
-                    accs[f] = accs[f] + \
-                        pltpu.roll(rolled[f], (-ox) % X, 1) * wt
+                    accs[f] = accs[f] + vals[f] * wfull
+                if minmax:
+                    s3 = (szy * sx[oxi]) > 0.5
+                    mn = jnp.where(s3, jnp.minimum(mn, vals[0]), mn)
+                    mx = jnp.where(s3, jnp.maximum(mx, vals[0]), mx)
     for f in range(F):
         out_ref[0, f, 0] = accs[f]
+    if minmax:
+        out_ref[0, F, 0] = mn
+        out_ref[0, F + 1, 0] = mx
 
 
 # --- differentiation -----------------------------------------------------
@@ -192,13 +195,6 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
 # Pallas kernel itself is not differentiable). Positions get zero
 # cotangents — matching the reference, whose backtraces are treated as
 # constants in every hand-written adjoint.
-
-def _aux_weights_xla(p, iota, n_idx, W):
-    c = jnp.trunc(p - 0.5).astype(jnp.int32)
-    c = jnp.clip(c, iota - W, iota + W)
-    c = jnp.clip(c, 0, n_idx - 2)
-    return [(c == iota + o).astype(p.dtype) for o in range(-W, W + 1)]
-
 
 def _weights_xla(p, iota, n_idx, W, nearest):
     p = p - 0.5
@@ -226,15 +222,18 @@ def _shiftn(a, off, axis):
     return shift(a, off, axis)
 
 
-def _warp_transpose_xla(g, px, py, pz, window, nearest, aux, ZYX):
+def _warp_transpose_xla(g, px, py, pz, window, nearest, F, ZYX):
     """grad_fields(s) = sum_o shift(g * w_o, -o): the adjoint scatter.
 
-    The last `aux` F channels scatter with the clamp-cell indicator
-    weights (matching the forward's aux mode)."""
+    g may carry 2 extra minmax channels beyond the F field channels;
+    their cotangents are dropped (clamp bounds are treated as constants
+    under differentiation — the reference computes no advection adjoint
+    at all, generic/tfluids.cc has hand adjoints only for divergence and
+    velocityUpdate)."""
     W = int(window)
     Z, Y, X = ZYX
     b, G = px.shape[:2]
-    F = g.shape[2]
+    g = g[:, :, :F]
     sh = px.shape
     ix = jax.lax.broadcasted_iota(jnp.int32, sh, 4)
     iy = jax.lax.broadcasted_iota(jnp.int32, sh, 3)
@@ -247,26 +246,14 @@ def _warp_transpose_xla(g, px, py, pz, window, nearest, aux, ZYX):
         n = len(wx)
         wz = [jnp.full(sh, 1.0 if o == W else 0.0, px.dtype)
               for o in range(n)]
-    if aux:
-        axw = _aux_weights_xla(px, ix, X, W)
-        ayw = _aux_weights_xla(py, iy, Y, W)
-        if Z > 1:
-            azw = _aux_weights_xla(pz, iz, Z, W)
-        else:
-            azw = [jnp.full(sh, 1.0 if o == W else 0.0, px.dtype)
-                   for o in range(len(axw))]
     off_lo = -W
     grad = jnp.zeros_like(g)
     for ozi, wzo in enumerate(wz):
         for oyi, wyo in enumerate(wy):
             wzy = wzo * wyo
-            azy = (azw[ozi] * ayw[oyi]) if aux else None
             for oxi, wxo in enumerate(wx):
                 w = (wzy * wxo)[:, :, None]        # broadcast over F
-                t = g[:, :, :F - aux] * w
-                if aux:
-                    a = (azy * axw[oxi])[:, :, None]
-                    t = jnp.concatenate([t, g[:, :, F - aux:] * a], axis=2)
+                t = g * w
                 oz, oy, ox = off_lo + ozi, off_lo + oyi, off_lo + oxi
                 if oz and Z > 1:
                     t = _shiftn(t, -oz, -3)
@@ -279,18 +266,18 @@ def _warp_transpose_xla(g, px, py, pz, window, nearest, aux, ZYX):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _warp_group(fields, px, py, pz, window, nearest, aux=0):
-    return _warp_group_impl(fields, px, py, pz, window, nearest, aux)
+def _warp_group(fields, px, py, pz, window, nearest, minmax=False):
+    return _warp_group_impl(fields, px, py, pz, window, nearest, minmax)
 
 
-def _warp_group_fwd(fields, px, py, pz, window, nearest, aux):
-    out = _warp_group_impl(fields, px, py, pz, window, nearest, aux)
-    return out, (px, py, pz, fields.shape[3:])
+def _warp_group_fwd(fields, px, py, pz, window, nearest, minmax):
+    out = _warp_group_impl(fields, px, py, pz, window, nearest, minmax)
+    return out, (px, py, pz, fields.shape[2], fields.shape[3:])
 
 
-def _warp_group_bwd(window, nearest, aux, res, g):
-    px, py, pz, ZYX = res
-    grad_fields = _warp_transpose_xla(g, px, py, pz, window, nearest, aux,
+def _warp_group_bwd(window, nearest, minmax, res, g):
+    px, py, pz, F, ZYX = res
+    grad_fields = _warp_transpose_xla(g, px, py, pz, window, nearest, F,
                                       ZYX)
     return (grad_fields, jnp.zeros_like(px), jnp.zeros_like(py),
             jnp.zeros_like(pz))
@@ -299,13 +286,16 @@ def _warp_group_bwd(window, nearest, aux, res, g):
 _warp_group.defvjp(_warp_group_fwd, _warp_group_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "nearest", "aux"))
-def _warp_group_impl(fields, px, py, pz, window, nearest, aux=0):
+@functools.partial(jax.jit, static_argnames=("window", "nearest",
+                                              "minmax"))
+def _warp_group_impl(fields, px, py, pz, window, nearest, minmax=False):
     """fields: (b, G, F, Z, Y, X); positions (b, G, Z, Y, X) shared by the
     F channels of each group. Returns (b, G, F, Z, Y, X)."""
     W = int(window)
     b, G, F, Z, Y, X = fields.shape
     assert px.shape == (b, G, Z, Y, X)
+    assert not (minmax and nearest)
+    Fo = F + (2 if minmax else 0)
     # Mosaic VMEM slices must be (8, 128)-tile aligned: pad y/x up. Padded
     # cells compute garbage that is sliced away; padded positions default
     # to in-range cell centers so the weight math stays finite.
@@ -330,16 +320,17 @@ def _warp_group_impl(fields, px, py, pz, window, nearest, aux=0):
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_warp_group_kernel, W=W, Z=Z, Y=Yp, X=Xp,
-                          Yt=Y, Xt=X, F=F, nearest=nearest, aux=aux),
+                          Yt=Y, Xt=X, F=F, nearest=nearest, minmax=minmax),
         grid=(b * G, Z),
         in_specs=[
             pos_spec, pos_spec, pos_spec,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, F, 1, Yp, Xp),
+        out_specs=pl.BlockSpec((1, Fo, 1, Yp, Xp),
                                lambda bg, k: (bg, 0, k, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * G, F, Z, Yp, Xp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * G, Fo, Z, Yp, Xp),
+                                       jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((F, noff, Yp, Xp), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -350,7 +341,7 @@ def _warp_group_impl(fields, px, py, pz, window, nearest, aux=0):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(pxr, pyr, pzr, srcp)
-    return out.reshape(b, G, F, Z, Yp, Xp)[..., :Y, :X]
+    return out.reshape(b, G, Fo, Z, Yp, Xp)[..., :Y, :X]
 
 
 def warp_trilinear(fields, px, py, pz, window: int = DEFAULT_WINDOW):
@@ -369,14 +360,17 @@ def warp_trilinear_shared(fields, px, py, pz, window: int = DEFAULT_WINDOW):
 
 
 def warp_group(fields, px, py, pz, window: int = DEFAULT_WINDOW,
-               nearest: bool = False, aux: int = 0):
+               nearest: bool = False, minmax: bool = False):
     """Raw grouped interface: fields (b, G, F, Z, Y, X), positions
-    (b, G, z, y, x). The last `aux` F channels are gathered at the
-    MacCormack clamp-lookup cell (trunc(pos - 0.5), window/border clipped
-    like advect_fast._clamp_lookup_cells) instead of warped — fusing the
-    clamp-bound lookups into the advection sweep that already visits the
-    same cells."""
-    return _warp_group(fields, px, py, pz, window, nearest, aux)
+    (b, G, z, y, x). With minmax=True the output gains two channels
+    carrying min/max of channel 0 over the interpolation's corner
+    support — fusing the MacCormack clamp-bound lookup into the sweep
+    that already rolls those cells through the VPU (the support
+    {i, i+1}^3 equals the corner set of the reference's clamp cell
+    clamp(trunc(i + sign*vel)), tfluids.cc doClampComponent, for window-
+    clamped positions). Bounds get zero cotangents under differentiation
+    (the reference computes no advection adjoint)."""
+    return _warp_group(fields, px, py, pz, window, nearest, minmax)
 
 
 def warp_fluid(src, flags, px, py, pz, window: int = DEFAULT_WINDOW):
