@@ -191,10 +191,13 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
 
 # --- differentiation -----------------------------------------------------
 # The warp is linear in `fields` with weights fixed by the positions, so
-# its VJP is the transposed windowed scatter, computed in plain XLA (the
-# Pallas kernel itself is not differentiable). Positions get zero
-# cotangents — matching the reference, whose backtraces are treated as
-# constants in every hand-written adjoint.
+# its VJP is the transposed windowed scatter. Production path: a second
+# Pallas kernel (_warp_transpose_kernel) with the same roll-accumulate
+# structure as the forward; _warp_transpose_xla is kept as the reference
+# oracle for its parity tests. Positions get zero cotangents — matching
+# the reference, whose backtraces are treated as constants in every
+# hand-written adjoint (generic/tfluids.cc has hand adjoints only for
+# divergence and velocityUpdate).
 
 def _weights_xla(p, iota, n_idx, W, nearest):
     p = p - 0.5
@@ -265,6 +268,131 @@ def _warp_transpose_xla(g, px, py, pz, window, nearest, F, ZYX):
     return grad
 
 
+def _warp_transpose_kernel(pos_hbm, g_hbm, out_ref, pscr, gscr, psem, gsem,
+                           *, W, Z, Y, X, Yt, Xt, F, nearest):
+    """Adjoint of the windowed warp, as a windowed roll-accumulate.
+
+    grad[c] = sum_o g[c-o] * w_o[c-o]: each output slice k gathers the
+    cotangent of the 2W+1 source slices whose interpolation support can
+    reach it, re-deriving each source slice's corner weights from its
+    positions in VMEM (the same _corner_weights as the forward kernel) and
+    keeping the z-tap that lands on k. In-plane, products are formed at
+    source coordinates and rolled to target coordinates
+    (roll(a*b) == roll(a)*roll(b) per axis)."""
+    bg = pl.program_id(0)
+    k = pl.program_id(1)
+    noff = 2 * W + 1
+
+    pdma = pltpu.make_async_copy(pos_hbm.at[bg, :, pl.ds(k, noff)], pscr,
+                                 psem)
+    gdma = pltpu.make_async_copy(g_hbm.at[bg, :, pl.ds(k, noff)], gscr,
+                                 gsem)
+    pdma.start()
+    gdma.start()
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+    pdma.wait()
+    gdma.wait()
+
+    accs = [jnp.zeros((Y, X), jnp.float32) for _ in range(F)]
+    # szi indexes the source-slice window: source slice s = k + szi - W.
+    sz_range = range(noff) if Z > 1 else [W]
+    for szi in sz_range:
+        px = pscr[0, szi] - 0.5
+        py = pscr[1, szi] - 0.5
+        if nearest:
+            wx = _nearest_weights(px, Xt, ii, W)
+            wy = _nearest_weights(py, Yt, jj, W)
+        else:
+            wx, _ = _corner_weights(px, Xt, ii, W)
+            wy, _ = _corner_weights(py, Yt, jj, W)
+        if Z > 1:
+            pz = pscr[2, szi] - 0.5
+            if nearest:
+                zidx = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, Z - 1)
+                wzP = (zidx == k).astype(px.dtype)
+            else:
+                # Of slice s's z-taps, only the one landing on k matters:
+                # wz = f0*[zi == k] + f1*[zi == k-1].
+                zi = jnp.floor(pz).astype(jnp.int32)
+                f1 = pz - zi.astype(pz.dtype)
+                f0 = 1.0 - f1
+                negz = pz < 0.0
+                zi = jnp.where(negz, 0, zi)
+                f0 = jnp.where(negz, 1.0, f0)
+                f1 = jnp.where(negz, 0.0, f1)
+                hiz = zi >= Z - 1
+                zi = jnp.where(hiz, Z - 2, zi)
+                f0 = jnp.where(hiz, 0.0, f0)
+                f1 = jnp.where(hiz, 1.0, f1)
+                wzP = f0 * (zi == k) + f1 * (zi == k - 1)
+            A = [gscr[f, szi] * wzP for f in range(F)]
+        else:
+            A = [gscr[f, szi] for f in range(F)]
+        for oyi, oy in enumerate(range(-W, W + 1)):
+            By = [pltpu.roll(A[f] * wy[oyi], oy % Y, 0) if Y > 1
+                  else A[f] * wy[oyi] for f in range(F)]
+            wxr = [pltpu.roll(wx[oxi], oy % Y, 0) if Y > 1 else wx[oxi]
+                   for oxi in range(noff)]
+            for oxi, ox in enumerate(range(-W, W + 1)):
+                for f in range(F):
+                    accs[f] = accs[f] + pltpu.roll(By[f] * wxr[oxi],
+                                                   ox % X, 1)
+    for f in range(F):
+        out_ref[0, f, 0] = accs[f]
+
+
+@functools.partial(jax.jit, static_argnames=("window", "nearest"))
+def _warp_transpose_pallas(g, px, py, pz, window, nearest):
+    """Pallas adjoint scatter: g (b, G, F, Z, Y, X) cotangent (minmax
+    channels already stripped), positions (b, G, Z, Y, X). Returns
+    grad_fields with the same shape as g."""
+    W = int(window)
+    b, G, F, Z, Y, X = g.shape
+    Xp, Yp = _round_up(X, 128), _round_up(Y, 8)
+    if (Xp, Yp) != (X, Y):
+        gpads = ((0, 0),) * 4 + ((0, Yp - Y), (0, Xp - X))
+        ppads = ((0, 0),) * 3 + ((0, Yp - Y), (0, Xp - X))
+        g = jnp.pad(g, gpads)
+        px = jnp.pad(px, ppads, constant_values=0.5)
+        py = jnp.pad(py, ppads, constant_values=0.5)
+        pz = jnp.pad(pz, ppads, constant_values=0.5)
+
+    noff = 2 * W + 1
+    zpad = (W, noff - W)
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), zpad, (0, 0), (0, 0)))
+    gp = gp.reshape(b * G, F, Z + zpad[0] + zpad[1], Yp, Xp)
+    pos = jnp.stack([px, py, pz], axis=2)           # (b, G, 3, Z, Yp, Xp)
+    pos = jnp.pad(pos, ((0, 0), (0, 0), (0, 0), zpad, (0, 0), (0, 0)),
+                  constant_values=0.5)
+    pos = pos.reshape(b * G, 3, Z + zpad[0] + zpad[1], Yp, Xp)
+
+    out = pl.pallas_call(
+        functools.partial(_warp_transpose_kernel, W=W, Z=Z, Y=Yp, X=Xp,
+                          Yt=Y, Xt=X, F=F, nearest=nearest),
+        grid=(b * G, Z),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, F, 1, Yp, Xp),
+                               lambda bg, k: (bg, 0, k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * G, F, Z, Yp, Xp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, noff, Yp, Xp), jnp.float32),
+            pltpu.VMEM((F, noff, Yp, Xp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(pos, gp)
+    return out.reshape(b, G, F, Z, Yp, Xp)[..., :Y, :X]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _warp_group(fields, px, py, pz, window, nearest, minmax=False):
     return _warp_group_impl(fields, px, py, pz, window, nearest, minmax)
@@ -277,8 +405,8 @@ def _warp_group_fwd(fields, px, py, pz, window, nearest, minmax):
 
 def _warp_group_bwd(window, nearest, minmax, res, g):
     px, py, pz, F, ZYX = res
-    grad_fields = _warp_transpose_xla(g, px, py, pz, window, nearest, F,
-                                      ZYX)
+    grad_fields = _warp_transpose_pallas(g[:, :, :F], px, py, pz,
+                                         int(window), nearest)
     return (grad_fields, jnp.zeros_like(px), jnp.zeros_like(py),
             jnp.zeros_like(pz))
 

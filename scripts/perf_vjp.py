@@ -64,6 +64,26 @@ def main():
         0.1, dd, u, flags, "maccormackOurs", False, 0.6, W) ** 2)))
     timeit(f"advect_scalar fwd+bwd (W={W})", grad_s, rho)
 
+    # Raw adjoint-scatter comparison: Pallas kernel vs the XLA shifted-add
+    # oracle, G=3/F=1 per-component positions (the MAC advection shape).
+    from fluidnet_tpu.ops.pallas import warp as WP
+    b, G, F = 1, 3, 1
+    g = jax.random.normal(key, (b, G, F, Z, Y, X), jnp.float32)
+    base = jnp.stack(jnp.meshgrid(
+        jnp.arange(Z, dtype=jnp.float32),
+        jnp.arange(Y, dtype=jnp.float32),
+        jnp.arange(X, dtype=jnp.float32), indexing="ij"), 0) + 0.5
+    disp = 0.9 * jax.random.normal(key, (3, b, G, Z, Y, X), jnp.float32)
+    pz = jnp.clip(base[0] + disp[0], 0.0, Z - 1e-3)
+    py = jnp.clip(base[1] + disp[1], 0.0, Y - 1e-3)
+    px = jnp.clip(base[2] + disp[2], 0.0, X - 1e-3)
+    f_pal = jax.jit(lambda gg: WP._warp_transpose_pallas(
+        gg, px, py, pz, W, False))
+    f_xla = jax.jit(lambda gg: WP._warp_transpose_xla(
+        gg, px, py, pz, W, False, F, (Z, Y, X)))
+    timeit(f"warp^T pallas  G=3 (W={W})", f_pal, g)
+    timeit(f"warp^T xla     G=3 (W={W})", f_xla, g)
+
 
 if __name__ == "__main__":
     main()

@@ -193,3 +193,67 @@ def test_simulate_uses_fast_path():
         state = step(state, bcs)
     assert np.isfinite(np.asarray(state.u)).all()
     assert float(state.density.sum()) > 0
+
+
+@pytest.mark.parametrize("is3d", [False, True])
+@pytest.mark.parametrize("window", [1, 2])
+@pytest.mark.parametrize("nearest", [False, True])
+def test_warp_transpose_pallas_matches_xla(is3d, window, nearest):
+    """The Pallas adjoint kernel equals the XLA shifted-add oracle."""
+    from fluidnet_tpu.ops.pallas import warp as W
+
+    rng = np.random.default_rng(7 + window + 10 * is3d)
+    b, G, F = 2, 2, 2
+    Z, Y, X = (5, 8, 16) if is3d else (1, 8, 16)
+    ZYX = (Z, Y, X)
+    g = jnp.asarray(rng.standard_normal((b, G, F, Z, Y, X)),
+                    jnp.float32)
+    # cell-center base positions + in-window displacement
+    ix = np.arange(X) + 0.5
+    iy = np.arange(Y) + 0.5
+    iz = np.arange(Z) + 0.5
+    base = np.broadcast_to(
+        ix[None, None, None, None, :], (b, G, Z, Y, X))
+    px = base + rng.uniform(-window + 1e-3, window - 1e-3,
+                            (b, G, Z, Y, X))
+    py = (np.broadcast_to(iy[None, None, None, :, None],
+                          (b, G, Z, Y, X))
+          + rng.uniform(-window + 1e-3, window - 1e-3, (b, G, Z, Y, X)))
+    pz = (np.broadcast_to(iz[None, None, :, None, None],
+                          (b, G, Z, Y, X))
+          + (rng.uniform(-window + 1e-3, window - 1e-3,
+                         (b, G, Z, Y, X)) if is3d else 0.0))
+    px, py, pz = (jnp.asarray(p, jnp.float32) for p in (px, py, pz))
+    if nearest:
+        # gather_cells-style integer-cell positions
+        px = jnp.floor(px) + 0.5
+        py = jnp.floor(py) + 0.5
+        pz = jnp.floor(pz) + 0.5
+
+    want = W._warp_transpose_xla(g, px, py, pz, window, nearest, F, ZYX)
+    got = W._warp_transpose_pallas(g, px, py, pz, window, nearest)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_warp_vjp_adjoint_identity():
+    """<warp(v), g> == <v, warp^T(g)> through the public custom-vjp path."""
+    from fluidnet_tpu.ops.pallas import warp as W
+
+    rng = np.random.default_rng(11)
+    b, G, F, Z, Y, X = 1, 3, 1, 4, 8, 16
+    v = jnp.asarray(rng.standard_normal((b, G, F, Z, Y, X)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, G, F, Z, Y, X)), jnp.float32)
+    base = np.stack(np.meshgrid(np.arange(Z), np.arange(Y), np.arange(X),
+                                indexing="ij"), 0) + 0.5
+    disp = rng.uniform(-0.9, 0.9, (3, b, G, Z, Y, X))
+    pz = jnp.asarray(base[0] + disp[0], jnp.float32)
+    py = jnp.asarray(base[1] + disp[1], jnp.float32)
+    px = jnp.asarray(base[2] + disp[2], jnp.float32)
+
+    fwd = lambda vv: W.warp_group(vv, px, py, pz, window=1)
+    out, vjp = jax.vjp(fwd, v)
+    (grad_v,) = vjp(g)
+    lhs = float(jnp.vdot(out, g))
+    rhs = float(jnp.vdot(v, grad_v))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
