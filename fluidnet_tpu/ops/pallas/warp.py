@@ -45,6 +45,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_WINDOW = 2
+# Output z-slices per forward-kernel program (DMA/roll sharing; 1 => the
+# old slice-per-program layout).
+DEFAULT_SLICES_PER_PROGRAM = 4
 
 
 def _interpret():
@@ -94,40 +97,22 @@ def _nearest_weights(p, n_idx, iota, W):
     return [(i == iota + o).astype(p.dtype) for o in range(-W, W + 1)]
 
 
-def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
-                       sem, *, W, Z, Y, X, Yt, Xt, F, nearest, minmax):
-    # Z/Y/X: padded block sizes; Yt/Xt: true domain extents for the
-    # BUILD_INDEX border clamps; F channels share this program's positions.
-    # With minmax=True, two extra output channels carry min/max of channel
-    # 0 over the interpolation's corner support {i, i+1}^3 — exactly the
-    # corner set of the reference's MacCormack clamp lookup cell
-    # (tfluids.cc doClampComponent: clamp(trunc(i + sign*vel)) equals the
-    # window-clamped position's base corner).
-    bg = pl.program_id(0)
-    k = pl.program_id(1)
+def _slice_weights(px, py, pz, k_abs, ii, jj, W, Z, Yt, Xt, nearest):
+    """Per-output-slice folded corner weights (+ support indicators).
+    Returns (wx, wy, wz_list, sx, sy, sz_list); wz_list[ozi] is the
+    z-weight for source slice k_abs + ozi - W."""
     noff = 2 * W + 1
-    off_lo = -W
-
-    dma = pltpu.make_async_copy(
-        src_hbm.at[bg, :, pl.ds(k, noff)], scratch, sem)
-    dma.start()
-
-    px = px_ref[0, 0] - 0.5
-    py = py_ref[0, 0] - 0.5
-    pz = pz_ref[0, 0] - 0.5
-    ii = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
-
     sx = sy = sz_list = None
     if nearest:
         wx = _nearest_weights(px, Xt, ii, W)
         wy = _nearest_weights(py, Yt, jj, W)
-        zidx = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0,
-                        max(Z - 1, 0)) if Z > 1 else jnp.zeros_like(ii)
-        wz_list = [(zidx == k + o).astype(px.dtype)
-                   for o in range(-W, W + 1)] if Z > 1 else \
-                  [jnp.full((Y, X), 1.0 if o == 0 else 0.0, px.dtype)
-                   for o in range(-W, W + 1)]
+        if Z > 1:
+            zidx = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, Z - 1)
+            wz_list = [(zidx == k_abs + o).astype(px.dtype)
+                       for o in range(-W, W + 1)]
+        else:
+            wz_list = [jnp.full(px.shape, 1.0 if o == 0 else 0.0, px.dtype)
+                       for o in range(-W, W + 1)]
     else:
         wx, sx = _corner_weights(px, Xt, ii, W)
         wy, sy = _corner_weights(py, Yt, jj, W)
@@ -143,7 +128,7 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
             zi = jnp.where(hiz, Z - 2, zi)
             f0 = jnp.where(hiz, 0.0, f0)
             f1 = jnp.where(hiz, 1.0, f1)
-            indz = [(zi == k + o).astype(px.dtype)
+            indz = [(zi == k_abs + o).astype(px.dtype)
                     for o in range(-W, W + 1)]
             wz_list = [f0 * indz[oi] + (f1 * indz[oi - 1] if oi > 0
                                         else 0.0)
@@ -151,42 +136,91 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
             sz_list = [indz[oi] + (indz[oi - 1] if oi > 0 else 0.0)
                        for oi in range(noff)]
         else:
-            wz_list = [jnp.full((Y, X), 1.0 if o == 0 else 0.0, px.dtype)
+            wz_list = [jnp.full(px.shape, 1.0 if o == 0 else 0.0, px.dtype)
                        for o in range(-W, W + 1)]
             sz_list = wz_list
+    return wx, wy, wz_list, sx, sy, sz_list
+
+
+def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
+                       sem, *, W, S, Z, Y, X, Yt, Xt, F, nearest, minmax):
+    # Y/X: padded in-plane block sizes; Yt/Xt/Z: true domain extents for
+    # the BUILD_INDEX border clamps; F channels share this program's
+    # positions. Each program computes S consecutive output z-slices so
+    # the in-plane rolls of the S + 2W source slices are computed ONCE and
+    # shared by every output slice whose window covers them (the z-windows
+    # of adjacent slices overlap in 2W slices; per-slice programs would
+    # re-roll them). With minmax=True, two extra output channels carry
+    # min/max of channel 0 over the interpolation's corner support
+    # {i, i+1}^3 — exactly the corner set of the reference's MacCormack
+    # clamp lookup cell (tfluids.cc doClampComponent: clamp(trunc(i +
+    # sign*vel)) equals the window-clamped position's base corner).
+    bg = pl.program_id(0)
+    ks = pl.program_id(1)
+    noff = 2 * W + 1
+    nsrc = S + 2 * W
+
+    dma = pltpu.make_async_copy(
+        src_hbm.at[bg, :, pl.ds(ks * S, nsrc)], scratch, sem)
+    dma.start()
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+
+    per_s = []
+    for s in range(S):
+        px = px_ref[0, s] - 0.5
+        py = py_ref[0, s] - 0.5
+        pz = pz_ref[0, s] - 0.5
+        k_abs = ks * S + s
+        per_s.append(_slice_weights(px, py, pz, k_abs, ii, jj, W, Z,
+                                    Yt, Xt, nearest))
 
     dma.wait()
 
-    accs = [jnp.zeros((Y, X), jnp.float32) for _ in range(F)]
+    accs = [[jnp.zeros((Y, X), jnp.float32) for _ in range(F)]
+            for _ in range(S)]
     if minmax:
-        mn = jnp.full((Y, X), jnp.inf, jnp.float32)
-        mx = jnp.full((Y, X), -jnp.inf, jnp.float32)
-    # 2-D grids (Z == 1): only the zero z-offset carries weight; skipping
-    # the other slices cuts the tap count by (2W+1)x.
-    oz_range = range(noff) if Z > 1 else [W]
-    for ozi in oz_range:
-        wz = wz_list[ozi]
-        sz_o = sz_list[ozi] if minmax else None
-        for oyi, oy in enumerate(range(off_lo, off_lo + noff)):
-            wzy = wz * wy[oyi]
-            szy = sz_o * sy[oyi] if minmax else None
-            rolled = [pltpu.roll(scratch[f, ozi], (-oy) % Y, 0) if Y > 1
-                      else scratch[f, ozi] for f in range(F)]
-            for oxi, ox in enumerate(range(off_lo, off_lo + noff)):
-                wfull = wzy * wx[oxi]
+        mns = [jnp.full((Y, X), jnp.inf, jnp.float32) for _ in range(S)]
+        mxs = [jnp.full((Y, X), -jnp.inf, jnp.float32) for _ in range(S)]
+    # Loop over source slices and in-plane offsets; each rolled plane is
+    # consumed by every output slice s with s <= j <= s + 2W. 2-D grids
+    # (Z == 1, S == 1): only the zero z-offset carries weight.
+    j_range = range(nsrc) if Z > 1 else [W]
+    for j in j_range:
+        svals = [s for s in range(S) if 0 <= j - s <= 2 * W] if Z > 1 \
+            else [0]
+        for oyi, oy in enumerate(range(-W, W + 1)):
+            rolled = [pltpu.roll(scratch[f, j], (-oy) % Y, 0) if Y > 1
+                      else scratch[f, j] for f in range(F)]
+            wzy = {}
+            szy = {}
+            for s in svals:
+                wx, wy, wz_list, sx, sy, sz_list = per_s[s]
+                ozi = j - s if Z > 1 else W
+                wzy[s] = wz_list[ozi] * wy[oyi]
+                if minmax:
+                    szy[s] = sz_list[ozi] * sy[oyi]
+            for oxi, ox in enumerate(range(-W, W + 1)):
                 vals = [pltpu.roll(rolled[f], (-ox) % X, 1)
                         for f in range(F)]
-                for f in range(F):
-                    accs[f] = accs[f] + vals[f] * wfull
-                if minmax:
-                    s3 = (szy * sx[oxi]) > 0.5
-                    mn = jnp.where(s3, jnp.minimum(mn, vals[0]), mn)
-                    mx = jnp.where(s3, jnp.maximum(mx, vals[0]), mx)
-    for f in range(F):
-        out_ref[0, f, 0] = accs[f]
-    if minmax:
-        out_ref[0, F, 0] = mn
-        out_ref[0, F + 1, 0] = mx
+                for s in svals:
+                    wx, wy, wz_list, sx, sy, sz_list = per_s[s]
+                    wfull = wzy[s] * wx[oxi]
+                    for f in range(F):
+                        accs[s][f] = accs[s][f] + vals[f] * wfull
+                    if minmax:
+                        s3 = (szy[s] * sx[oxi]) > 0.5
+                        mns[s] = jnp.where(
+                            s3, jnp.minimum(mns[s], vals[0]), mns[s])
+                        mxs[s] = jnp.where(
+                            s3, jnp.maximum(mxs[s], vals[0]), mxs[s])
+    for s in range(S):
+        for f in range(F):
+            out_ref[0, f, s] = accs[s][f]
+        if minmax:
+            out_ref[0, F, s] = mns[s]
+            out_ref[0, F + 1, s] = mxs[s]
 
 
 # --- differentiation -----------------------------------------------------
@@ -436,31 +470,39 @@ def _warp_group_impl(fields, px, py, pz, window, nearest, minmax=False):
         py = jnp.pad(py, ppads, constant_values=0.5)
         pz = jnp.pad(pz, ppads, constant_values=0.5)
 
-    noff = 2 * W + 1
-    zpad = (W, noff - W)
+    # S output slices per program share the rolled source planes of their
+    # overlapping z-windows (see _warp_group_kernel).
+    S = min(DEFAULT_SLICES_PER_PROGRAM, Z) if Z > 1 else 1
+    Zs = _round_up(Z, S)
+    zpad = (W, Zs - Z + W)
     srcp = jnp.pad(fields, ((0, 0), (0, 0), (0, 0), zpad, (0, 0), (0, 0)))
-    srcp = srcp.reshape(b * G, F, Z + zpad[0] + zpad[1], Yp, Xp)
-    pxr = px.reshape(b * G, Z, Yp, Xp)
-    pyr = py.reshape(b * G, Z, Yp, Xp)
-    pzr = pz.reshape(b * G, Z, Yp, Xp)
+    srcp = srcp.reshape(b * G, F, Zs + 2 * W, Yp, Xp)
+    if Zs != Z:
+        ppadz = ((0, 0),) * 2 + ((0, Zs - Z), (0, 0), (0, 0))
+        px = jnp.pad(px, ppadz, constant_values=0.5)
+        py = jnp.pad(py, ppadz, constant_values=0.5)
+        pz = jnp.pad(pz, ppadz, constant_values=0.5)
+    pxr = px.reshape(b * G, Zs, Yp, Xp)
+    pyr = py.reshape(b * G, Zs, Yp, Xp)
+    pzr = pz.reshape(b * G, Zs, Yp, Xp)
 
-    pos_spec = pl.BlockSpec((1, 1, Yp, Xp), lambda bg, k: (bg, k, 0, 0),
+    pos_spec = pl.BlockSpec((1, S, Yp, Xp), lambda bg, k: (bg, k, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_warp_group_kernel, W=W, Z=Z, Y=Yp, X=Xp,
+        functools.partial(_warp_group_kernel, W=W, S=S, Z=Z, Y=Yp, X=Xp,
                           Yt=Y, Xt=X, F=F, nearest=nearest, minmax=minmax),
-        grid=(b * G, Z),
+        grid=(b * G, Zs // S),
         in_specs=[
             pos_spec, pos_spec, pos_spec,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, Fo, 1, Yp, Xp),
+        out_specs=pl.BlockSpec((1, Fo, S, Yp, Xp),
                                lambda bg, k: (bg, 0, k, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * G, Fo, Z, Yp, Xp),
+        out_shape=jax.ShapeDtypeStruct((b * G, Fo, Zs, Yp, Xp),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((F, noff, Yp, Xp), jnp.float32),
+            pltpu.VMEM((F, S + 2 * W, Yp, Xp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         # The default scoped-vmem cap is 16 MB; multi-channel outputs at
@@ -469,7 +511,7 @@ def _warp_group_impl(fields, px, py, pz, window, nearest, minmax=False):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(pxr, pyr, pzr, srcp)
-    return out.reshape(b, G, Fo, Z, Yp, Xp)[..., :Y, :X]
+    return out.reshape(b, G, Fo, Zs, Yp, Xp)[..., :Z, :Y, :X]
 
 
 def warp_trilinear(fields, px, py, pz, window: int = DEFAULT_WINDOW):
