@@ -54,7 +54,10 @@ def main():
 
     # NOTE: params/bcs are jit ARGUMENTS — closing over large device arrays
     # embeds them as XLA constants, which wrecks compile AND run time.
-    step = jax.jit(lambda s, prm, b: simulate(s, mconf, model_fn, prm, b))
+    # Donating the state lets XLA reuse its buffers for the output state
+    # (the loop never reuses the old state), saving allocs + copies.
+    step = jax.jit(lambda s, prm, b: simulate(s, mconf, model_fn, prm, b),
+                   donate_argnums=0)
 
     # Compile + warmup (materialize: see fence note below).
     state = step(state, params, bcs)

@@ -143,7 +143,8 @@ def _slice_weights(px, py, pz, k_abs, ii, jj, W, Z, Yt, Xt, nearest):
 
 
 def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
-                       sem, *, W, S, Z, Y, X, Yt, Xt, F, nearest, minmax):
+                       sem, *, W, S, Z, Y, X, Yt, Xt, F, nearest, minmax,
+                       zclamped=False):
     # Y/X: padded in-plane block sizes; Yt/Xt/Z: true domain extents for
     # the BUILD_INDEX border clamps; F channels share this program's
     # positions. Each program computes S consecutive output z-slices so
@@ -160,9 +161,27 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
     noff = 2 * W + 1
     nsrc = S + 2 * W
 
-    dma = pltpu.make_async_copy(
-        src_hbm.at[bg, :, pl.ds(ks * S, nsrc)], scratch, sem)
+    if zclamped:
+        # The source array is NOT z-padded (saves a full-field copy per
+        # call): clamp the DMA window into the domain and shift the static
+        # scratch indices back. Out-of-domain sources read a clamped
+        # (garbage) slice whose z-weight is provably zero — the weight
+        # indicators compare against the clamped zi in [0, Z-2] while the
+        # out-of-domain slice index is outside [0, Z-1].
+        start = jnp.clip(ks * S - W, 0, Z - nsrc)
+        shift = ks * S - W - start
+        dma = pltpu.make_async_copy(
+            src_hbm.at[bg, :, pl.ds(start, nsrc)], scratch, sem)
+    else:
+        shift = None
+        dma = pltpu.make_async_copy(
+            src_hbm.at[bg, :, pl.ds(ks * S, nsrc)], scratch, sem)
     dma.start()
+
+    def _src(f, j):
+        if not zclamped:
+            return scratch[f, j]
+        return scratch[f, jnp.clip(j + shift, 0, nsrc - 1)]
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
@@ -190,9 +209,10 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
     for j in j_range:
         svals = [s for s in range(S) if 0 <= j - s <= 2 * W] if Z > 1 \
             else [0]
+        planes = [_src(f, j) for f in range(F)]
         for oyi, oy in enumerate(range(-W, W + 1)):
-            rolled = [pltpu.roll(scratch[f, j], (-oy) % Y, 0) if Y > 1
-                      else scratch[f, j] for f in range(F)]
+            rolled = [pltpu.roll(planes[f], (-oy) % Y, 0) if Y > 1
+                      else planes[f] for f in range(F)]
             wzy = {}
             szy = {}
             for s in svals:
@@ -474,9 +494,17 @@ def _warp_group_impl(fields, px, py, pz, window, nearest, minmax=False):
     # overlapping z-windows (see _warp_group_kernel).
     S = min(DEFAULT_SLICES_PER_PROGRAM, Z) if Z > 1 else 1
     Zs = _round_up(Z, S)
-    zpad = (W, Zs - Z + W)
-    srcp = jnp.pad(fields, ((0, 0), (0, 0), (0, 0), zpad, (0, 0), (0, 0)))
-    srcp = srcp.reshape(b * G, F, Zs + 2 * W, Yp, Xp)
+    # When every program's clamped window fits the domain, skip the z-pad
+    # entirely (it is a full-field copy per call) — the kernel clamps its
+    # DMA window and shifts indices instead.
+    zclamped = Z > 1 and Zs == Z and Z >= S + 2 * W and S >= W
+    if zclamped:
+        srcp = fields.reshape(b * G, F, Z, Yp, Xp)
+    else:
+        zpad = (W, Zs - Z + W)
+        srcp = jnp.pad(fields,
+                       ((0, 0), (0, 0), (0, 0), zpad, (0, 0), (0, 0)))
+        srcp = srcp.reshape(b * G, F, Zs + 2 * W, Yp, Xp)
     if Zs != Z:
         ppadz = ((0, 0),) * 2 + ((0, Zs - Z), (0, 0), (0, 0))
         px = jnp.pad(px, ppadz, constant_values=0.5)
@@ -490,7 +518,8 @@ def _warp_group_impl(fields, px, py, pz, window, nearest, minmax=False):
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_warp_group_kernel, W=W, S=S, Z=Z, Y=Yp, X=Xp,
-                          Yt=Y, Xt=X, F=F, nearest=nearest, minmax=minmax),
+                          Yt=Y, Xt=X, F=F, nearest=nearest, minmax=minmax,
+                          zclamped=zclamped),
         grid=(b * G, Zs // S),
         in_specs=[
             pos_spec, pos_spec, pos_spec,
