@@ -326,8 +326,10 @@ def advect_vel_fast(dt, u, flags, method, maccormack_strength, window,
     mn_f, mx_f = o1[:, :, 1], o1[:, :, 2]
 
     # bwd: channel 0 stays u (bounds source); channel 1 is the advected
-    # fwd field (its channel-0 warp output is discarded).
-    o2 = sweep(jnp.stack([u, fwd], axis=2), -dt)
+    # fwd field (its channel-0 warp output is discarded). Passed as a
+    # source tuple — the kernel DMAs each separately, avoiding a
+    # full-field stack copy.
+    o2 = sweep((u[:, :, None], fwd[:, :, None]), -dt)
     bwd = o2[:, :, 1]
     if ours:
         bwd = jnp.where(fl, bwd, fwd)

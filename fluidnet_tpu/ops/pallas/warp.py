@@ -142,9 +142,8 @@ def _slice_weights(px, py, pz, k_abs, ii, jj, W, Z, Yt, Xt, nearest):
     return wx, wy, wz_list, sx, sy, sz_list
 
 
-def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
-                       sem, *, W, S, Z, Y, X, Yt, Xt, F, nearest, minmax,
-                       zclamped=False):
+def _warp_group_kernel(px_ref, py_ref, pz_ref, *refs, W, S, Z, Y, X, Yt,
+                       Xt, Fs, nearest, minmax, zclamped=False):
     # Y/X: padded in-plane block sizes; Yt/Xt/Z: true domain extents for
     # the BUILD_INDEX border clamps; F channels share this program's
     # positions. Each program computes S consecutive output z-slices so
@@ -156,13 +155,22 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
     # {i, i+1}^3 — exactly the corner set of the reference's MacCormack
     # clamp lookup cell (tfluids.cc doClampComponent: clamp(trunc(i +
     # sign*vel)) equals the window-clamped position's base corner).
+    # refs layout: n source HBM refs, the output ref, n scratch buffers,
+    # n DMA semaphores (n = len(Fs); channel f maps to the source holding
+    # it, concatenation order).
+    n_src = len(Fs)
+    srcs_hbm = refs[:n_src]
+    out_ref = refs[n_src]
+    scratches = refs[n_src + 1:2 * n_src + 1]
+    sems = refs[2 * n_src + 1:]
+    F = sum(Fs)
     bg = pl.program_id(0)
     ks = pl.program_id(1)
     noff = 2 * W + 1
     nsrc = S + 2 * W
 
     if zclamped:
-        # The source array is NOT z-padded (saves a full-field copy per
+        # The source arrays are NOT z-padded (saves a full-field copy per
         # call): clamp the DMA window into the domain and shift the static
         # scratch indices back. Out-of-domain sources read a clamped
         # (garbage) slice whose z-weight is provably zero — the weight
@@ -170,18 +178,26 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
         # out-of-domain slice index is outside [0, Z-1].
         start = jnp.clip(ks * S - W, 0, Z - nsrc)
         shift = ks * S - W - start
-        dma = pltpu.make_async_copy(
-            src_hbm.at[bg, :, pl.ds(start, nsrc)], scratch, sem)
+        dmas = [pltpu.make_async_copy(
+            srcs_hbm[i].at[bg, :, pl.ds(start, nsrc)], scratches[i],
+            sems[i]) for i in range(n_src)]
     else:
         shift = None
-        dma = pltpu.make_async_copy(
-            src_hbm.at[bg, :, pl.ds(ks * S, nsrc)], scratch, sem)
-    dma.start()
+        dmas = [pltpu.make_async_copy(
+            srcs_hbm[i].at[bg, :, pl.ds(ks * S, nsrc)], scratches[i],
+            sems[i]) for i in range(n_src)]
+    for dma in dmas:
+        dma.start()
+
+    _route = []
+    for i, Fi in enumerate(Fs):
+        _route += [(i, fi) for fi in range(Fi)]
 
     def _src(f, j):
+        i, fi = _route[f]
         if not zclamped:
-            return scratch[f, j]
-        return scratch[f, jnp.clip(j + shift, 0, nsrc - 1)]
+            return scratches[i][fi, j]
+        return scratches[i][fi, jnp.clip(j + shift, 0, nsrc - 1)]
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
@@ -195,7 +211,8 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, src_hbm, out_ref, scratch,
         per_s.append(_slice_weights(px, py, pz, k_abs, ii, jj, W, Z,
                                     Yt, Xt, nearest))
 
-    dma.wait()
+    for dma in dmas:
+        dma.wait()
 
     accs = [[jnp.zeros((Y, X), jnp.float32) for _ in range(F)]
             for _ in range(S)]
@@ -454,13 +471,24 @@ def _warp_group(fields, px, py, pz, window, nearest, minmax=False):
 
 def _warp_group_fwd(fields, px, py, pz, window, nearest, minmax):
     out = _warp_group_impl(fields, px, py, pz, window, nearest, minmax)
-    return out, (px, py, pz, fields.shape[2], fields.shape[3:])
+    fs = fields if isinstance(fields, tuple) else (fields,)
+    Fs = tuple(f.shape[2] for f in fs)
+    return out, (px, py, pz, Fs, isinstance(fields, tuple),
+                 fs[0].shape[3:])
 
 
 def _warp_group_bwd(window, nearest, minmax, res, g):
-    px, py, pz, F, ZYX = res
+    px, py, pz, Fs, was_tuple, ZYX = res
+    F = sum(Fs)
     grad_fields = _warp_transpose_pallas(g[:, :, :F], px, py, pz,
                                          int(window), nearest)
+    if was_tuple:
+        splits = []
+        lo = 0
+        for Fi in Fs:
+            splits.append(grad_fields[:, :, lo:lo + Fi])
+            lo += Fi
+        grad_fields = tuple(splits)
     return (grad_fields, jnp.zeros_like(px), jnp.zeros_like(py),
             jnp.zeros_like(pz))
 
@@ -471,11 +499,19 @@ _warp_group.defvjp(_warp_group_fwd, _warp_group_bwd)
 @functools.partial(jax.jit, static_argnames=("window", "nearest",
                                               "minmax"))
 def _warp_group_impl(fields, px, py, pz, window, nearest, minmax=False):
-    """fields: (b, G, F, Z, Y, X); positions (b, G, Z, Y, X) shared by the
-    F channels of each group. Returns (b, G, F, Z, Y, X)."""
+    """fields: (b, G, F, Z, Y, X) — or a TUPLE of such arrays sharing
+    (b, G, Z, Y, X) whose channels concatenate (each is DMA'd separately,
+    avoiding a host-graph concatenate copy). positions (b, G, Z, Y, X)
+    shared by the channels of each group. Returns (b, G, sumF, Z, Y, X)
+    (+2 channels with minmax)."""
     W = int(window)
-    b, G, F, Z, Y, X = fields.shape
+    fs = list(fields) if isinstance(fields, tuple) else [fields]
+    b, G, _, Z, Y, X = fs[0].shape
+    Fs = tuple(f.shape[2] for f in fs)
+    F = sum(Fs)
     assert px.shape == (b, G, Z, Y, X)
+    assert all(f.shape[:2] == (b, G) and f.shape[3:] == (Z, Y, X)
+               for f in fs)
     assert not (minmax and nearest)
     Fo = F + (2 if minmax else 0)
     # Mosaic VMEM slices must be (8, 128)-tile aligned: pad y/x up. Padded
@@ -485,7 +521,7 @@ def _warp_group_impl(fields, px, py, pz, window, nearest, minmax=False):
     if (Xp, Yp) != (X, Y):
         fpads = ((0, 0),) * 4 + ((0, Yp - Y), (0, Xp - X))
         ppads = ((0, 0),) * 3 + ((0, Yp - Y), (0, Xp - X))
-        fields = jnp.pad(fields, fpads)
+        fs = [jnp.pad(f, fpads) for f in fs]
         px = jnp.pad(px, ppads, constant_values=0.5)
         py = jnp.pad(py, ppads, constant_values=0.5)
         pz = jnp.pad(pz, ppads, constant_values=0.5)
@@ -499,12 +535,14 @@ def _warp_group_impl(fields, px, py, pz, window, nearest, minmax=False):
     # DMA window and shifts indices instead.
     zclamped = Z > 1 and Zs == Z and Z >= S + 2 * W and S >= W
     if zclamped:
-        srcp = fields.reshape(b * G, F, Z, Yp, Xp)
+        srcps = [f.reshape(b * G, Fi, Z, Yp, Xp)
+                 for f, Fi in zip(fs, Fs)]
     else:
         zpad = (W, Zs - Z + W)
-        srcp = jnp.pad(fields,
-                       ((0, 0), (0, 0), (0, 0), zpad, (0, 0), (0, 0)))
-        srcp = srcp.reshape(b * G, F, Zs + 2 * W, Yp, Xp)
+        srcps = [jnp.pad(f, ((0, 0), (0, 0), (0, 0), zpad, (0, 0),
+                             (0, 0))).reshape(b * G, Fi, Zs + 2 * W, Yp,
+                                              Xp)
+                 for f, Fi in zip(fs, Fs)]
     if Zs != Z:
         ppadz = ((0, 0),) * 2 + ((0, Zs - Z), (0, 0), (0, 0))
         px = jnp.pad(px, ppadz, constant_values=0.5)
@@ -518,28 +556,25 @@ def _warp_group_impl(fields, px, py, pz, window, nearest, minmax=False):
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_warp_group_kernel, W=W, S=S, Z=Z, Y=Yp, X=Xp,
-                          Yt=Y, Xt=X, F=F, nearest=nearest, minmax=minmax,
-                          zclamped=zclamped),
+                          Yt=Y, Xt=X, Fs=Fs, nearest=nearest,
+                          minmax=minmax, zclamped=zclamped),
         grid=(b * G, Zs // S),
-        in_specs=[
-            pos_spec, pos_spec, pos_spec,
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pos_spec, pos_spec, pos_spec] +
+                 [pl.BlockSpec(memory_space=pl.ANY) for _ in srcps],
         out_specs=pl.BlockSpec((1, Fo, S, Yp, Xp),
                                lambda bg, k: (bg, 0, k, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * G, Fo, Zs, Yp, Xp),
                                        jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((F, S + 2 * W, Yp, Xp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=[pltpu.VMEM((Fi, S + 2 * W, Yp, Xp), jnp.float32)
+                        for Fi in Fs] +
+                       [pltpu.SemaphoreType.DMA for _ in Fs],
         # The default scoped-vmem cap is 16 MB; multi-channel outputs at
         # 128^3 exceed it (v5e has 128 MB physical VMEM).
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(pxr, pyr, pzr, srcp)
+    )(pxr, pyr, pzr, *srcps)
     return out.reshape(b, G, Fo, Zs, Yp, Xp)[..., :Z, :Y, :X]
 
 
@@ -589,8 +624,9 @@ def warp_fluid(src, flags, px, py, pz, window: int = DEFAULT_WINDOW):
     """
     from fluidnet_tpu.core.celltype import is_fluid
     m = is_fluid(flags).astype(src.dtype)
-    packed = jnp.concatenate([src, src * m, m], axis=1)
-    out = warp_trilinear_shared(packed, px, py, pz, window=window)
+    out = _warp_group((src[:, None], (src * m)[:, None], m[:, None]),
+                      px[:, None], py[:, None], pz[:, None], window,
+                      False)[:, 0]
     plain, num, den = out[:, 0:1], out[:, 1:2], out[:, 2:3]
     safe = den > 1e-6
     return jnp.where(safe, num / jnp.where(safe, den, 1.0), plain)
