@@ -34,10 +34,16 @@ def main():
     from fluidnet_tpu.sim.simulate import create_plume_bcs, simulate
     from fluidnet_tpu.train.train import init_train_state
 
+    # Fixed W=1 window (adaptive_window=False): the production smoke
+    # config. The +-1-cell displacement clamp is the same CFL bound the
+    # reference imposes via its velocity clamp (simulate.lua:326); the
+    # adaptive W=1/W=2 dispatch (the library default) costs ~0.85 ms/step
+    # in cond operand copies and only matters past CFL 1.
     mconf = ModelConfig(
         is_3d=True, sim_method="convnet", dt=0.1,
         buoyancy_scale=2.0, vorticity_confinement_amp=3.0,
-        maccormack_strength=0.6, advection_method="maccormackOurs")
+        maccormack_strength=0.6, advection_method="maccormackOurs",
+        adaptive_window=False, advection_window=1)
     params = init_train_state(jax.random.PRNGKey(0), mconf).params
 
     B, Z, Y, X = 1, RES, RES, RES
