@@ -201,10 +201,47 @@ def advect_scalar_fast(dt, s, u, flags, method, sample_outside_fluid,
 
     # MacCormack variants.
     px, py, pz = _euler_pos_scalar(s, u, flags, dt, is_3d, W, ours, free)
-    fwd_full = _sample_scalar_fast(s, flags, px, py, pz,
-                                   sample_outside_fluid or not ours, W)
+    mn = mx = have = None
     if ours:
+        # Fused fwd sweep: the clamp bounds ride the interpolation as
+        # support min/max of (fluid-masked, for sample_outside_fluid=
+        # False) +-sentinel channels — the separable-filter minmax fields
+        # and the standalone nearest-gather lookup disappear. Non-fluid
+        # cells warp their own centers (tfluids.cc:157-160), which leaves
+        # their sampled value at s — the same value the 'Ours' fluid mask
+        # would restore — so one position set serves values AND bounds.
+        # Bounds deviation vs the exact path: support corners {i, i+1}^3
+        # of the (window-clamped) position instead of the (2W+1)^3 window
+        # around the lookup cell — the same deviation the MAC velocity
+        # path ships (see advect_vel_fast).
+        cpx, cpy, cpz = _positions(s.shape, s.shape[0], s.dtype)
+        flm = fl[:, 0]
+        px = jnp.where(flm, px, cpx)
+        py = jnp.where(flm, py, cpy)
+        pz = jnp.where(flm, pz, cpz)
+        BIG = jnp.asarray(1e30, s.dtype)
+        if sample_outside_fluid:
+            o1 = warp_group(s[:, None], px[:, None], py[:, None],
+                            pz[:, None], window=W, minmax=True)[:, 0]
+            fwd_full, mn, mx = o1[:, 0:1], o1[:, 1:2], o1[:, 2:3]
+            have = jnp.ones_like(mn, bool)
+        else:
+            m = fl.astype(s.dtype)
+            bmin = jnp.where(fl, s, BIG)
+            bmax = jnp.where(fl, s, -BIG)
+            srcs = tuple(a[:, None] for a in (bmin, bmax, s, s * m, m))
+            o1 = warp_group(srcs, px[:, None], py[:, None], pz[:, None],
+                            window=W, minmax=(0, 1))[:, 0]
+            plain, num, den = o1[:, 2:3], o1[:, 3:4], o1[:, 4:5]
+            safe = den > 1e-6
+            fwd_full = jnp.where(safe, num / jnp.where(safe, den, 1.0),
+                                 plain)
+            mn, mx = o1[:, 5:6], o1[:, 6:7]
+            have = mn < BIG * 0.5
         fwd_full = jnp.where(fl, fwd_full, s)
+    else:
+        fwd_full = _sample_scalar_fast(s, flags, px, py, pz,
+                                       sample_outside_fluid or not ours, W)
     fwd = apply_border(fwd_full)
     bx, by, bz = _euler_pos_scalar(fwd, u, flags, -dt, is_3d, W, ours, free)
     bwd_full = _sample_scalar_fast(fwd, flags, bx, by, bz,
@@ -232,25 +269,10 @@ def advect_scalar_fast(dt, s, u, flags, method, sample_outside_fluid,
         clamped = jnp.where(bad, fwd, clamped)
         return jnp.where(border, dst, clamped)
 
-    # maccormackOurs clamp: windowed min/max/count around the fwd position
-    # (the separable-filter formulation of getClampBounds). Non-fluid cells
-    # record their own centers as fwd positions (tfluids.cc:157-160).
-    cpx, cpy, cpz = _positions(s.shape, s.shape[0], s.dtype)
-    px = jnp.where(fl[:, 0], px, cpx)
-    py = jnp.where(fl[:, 0], py, cpy)
-    pz = jnp.where(fl[:, 0], pz, cpz)
-    from fluidnet_tpu.ops.advect import _window_minmax_count
-    mn_f, mx_f, cnt_f = _window_minmax_count(s, flags, sample_outside_fluid,
-                                             is_3d)
-    packed = jnp.stack([mn_f, mx_f, cnt_f], axis=1)
-    Z, Y, X = flags.shape[2:]
-    i0 = jnp.clip(px.astype(jnp.int32), 0, X - 1)
-    j0 = jnp.clip(py.astype(jnp.int32), 0, Y - 1)
-    k0 = jnp.clip(pz.astype(jnp.int32), 0, Z - 1) if is_3d \
-        else jnp.zeros_like(i0)
-    g = gather_cells(packed, i0, j0, k0, window=W)
-    have = g[:, 2:3] >= 1.0
-    clamped = jnp.where(have, jnp.clip(dst, g[:, 0:1], g[:, 1:2]), fwd)
+    # maccormackOurs clamp: support min/max computed in the fused fwd
+    # sweep above; no fluid corner in the support -> revert to fwd
+    # (the cnt==0 rule of getClampBounds, tfluids.cc:124-166).
+    clamped = jnp.where(have, jnp.clip(dst, mn, mx), fwd)
     return jnp.where(border, dst, clamped)
 
 

@@ -214,6 +214,13 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, *refs, W, S, Z, Y, X, Yt,
     for dma in dmas:
         dma.wait()
 
+    # minmax: False | True (bounds of channel 0) | (cmin, cmax) (min of
+    # channel cmin / max of channel cmax — lets callers pass fluid-masked
+    # +-sentinel bound sources; those channels' weighted accumulations are
+    # skipped).
+    cmin, cmax = (minmax if isinstance(minmax, tuple)
+                  else (0, 0)) if minmax else (None, None)
+    skip_acc = ({cmin, cmax} if isinstance(minmax, tuple) else set())
     accs = [[jnp.zeros((Y, X), jnp.float32) for _ in range(F)]
             for _ in range(S)]
     if minmax:
@@ -245,13 +252,14 @@ def _warp_group_kernel(px_ref, py_ref, pz_ref, *refs, W, S, Z, Y, X, Yt,
                     wx, wy, wz_list, sx, sy, sz_list = per_s[s]
                     wfull = wzy[s] * wx[oxi]
                     for f in range(F):
-                        accs[s][f] = accs[s][f] + vals[f] * wfull
+                        if f not in skip_acc:
+                            accs[s][f] = accs[s][f] + vals[f] * wfull
                     if minmax:
                         s3 = (szy[s] * sx[oxi]) > 0.5
                         mns[s] = jnp.where(
-                            s3, jnp.minimum(mns[s], vals[0]), mns[s])
+                            s3, jnp.minimum(mns[s], vals[cmin]), mns[s])
                         mxs[s] = jnp.where(
-                            s3, jnp.maximum(mxs[s], vals[0]), mxs[s])
+                            s3, jnp.maximum(mxs[s], vals[cmax]), mxs[s])
     for s in range(S):
         for f in range(F):
             out_ref[0, f, s] = accs[s][f]
