@@ -316,6 +316,13 @@ def advect_vel_fast(dt, u, flags, method, maccormack_strength, window,
     def apply_border(x):
         return jnp.where(border, zero, x)
 
+    # 3-D: the fused sweep computes backtrace positions in-kernel from the
+    # velocity window already in VMEM (no materialized position fields).
+    fused = is_3d and W >= 1
+    if fused:
+        from fluidnet_tpu.ops.pallas.mac_sweep import mac_vel_sweep
+        free_in = free if ours else None
+
     def sl(src, dt_):
         (px, py, pz), _ = _mac_positions(u, flags, dt_, is_3d, W, ours, free)
         out = warp_trilinear(src, px, py, pz, window=W)
@@ -324,6 +331,11 @@ def advect_vel_fast(dt, u, flags, method, maccormack_strength, window,
         return out
 
     if method in ("euler", "eulerOurs"):
+        if fused:
+            out, _, _ = mac_vel_sweep(u, None, free_in, -dt, W, ours)
+            if ours:
+                out = jnp.where(fl, out, u)
+            return apply_border(out)
         return apply_border(sl(u, dt))
 
     # MacCormack: the fwd (-dt) and bwd (+dt) sweeps visit exactly the
@@ -335,28 +347,38 @@ def advect_vel_fast(dt, u, flags, method, maccormack_strength, window,
     # velocities this equals the standalone lookup; past the CFL window
     # (and for the 'Ours' free-space-scaled traces) the bounds come from
     # the cell actually sampled, a documented fast-path deviation.
-    def sweep(fields, dt_):
-        # fields (b, C, F, z, y, x); channel 0 is the clamp-bound source.
-        (px, py, pz), _ = _mac_positions(u, flags, dt_, is_3d, W, ours, free)
-        return warp_group(fields, px, py, pz, window=W, minmax=True)
+    if fused:
+        w1, mn_f, mx_f = mac_vel_sweep(u, None, free_in, -dt, W, ours)
+        fwd = jnp.where(fl, w1, u) if ours else w1
+        fwd = apply_border(fwd)
+        w2, mn_b, mx_b = mac_vel_sweep(u, fwd, free_in, dt, W, ours)
+        bwd = jnp.where(fl, w2, fwd) if ours else w2
+        bwd = apply_border(bwd)
+    else:
+        def sweep(fields, dt_):
+            # fields (b, C, F, z, y, x); channel 0 is the clamp-bound
+            # source.
+            (px, py, pz), _ = _mac_positions(u, flags, dt_, is_3d, W,
+                                             ours, free)
+            return warp_group(fields, px, py, pz, window=W, minmax=True)
 
-    o1 = sweep(u[:, :, None], dt)          # [warp(u), mn, mx]
-    fwd = o1[:, :, 0]
-    if ours:
-        fwd = jnp.where(fl, fwd, u)
-    fwd = apply_border(fwd)
-    mn_f, mx_f = o1[:, :, 1], o1[:, :, 2]
+        o1 = sweep(u[:, :, None], dt)      # [warp(u), mn, mx]
+        fwd = o1[:, :, 0]
+        if ours:
+            fwd = jnp.where(fl, fwd, u)
+        fwd = apply_border(fwd)
+        mn_f, mx_f = o1[:, :, 1], o1[:, :, 2]
 
-    # bwd: channel 0 stays u (bounds source); channel 1 is the advected
-    # fwd field (its channel-0 warp output is discarded). Passed as a
-    # source tuple — the kernel DMAs each separately, avoiding a
-    # full-field stack copy.
-    o2 = sweep((u[:, :, None], fwd[:, :, None]), -dt)
-    bwd = o2[:, :, 1]
-    if ours:
-        bwd = jnp.where(fl, bwd, fwd)
-    bwd = apply_border(bwd)
-    mn_b, mx_b = o2[:, :, 2], o2[:, :, 3]
+        # bwd: channel 0 stays u (bounds source); channel 1 is the
+        # advected fwd field (its channel-0 warp output is discarded).
+        # Passed as a source tuple — the kernel DMAs each separately,
+        # avoiding a full-field stack copy.
+        o2 = sweep((u[:, :, None], fwd[:, :, None]), -dt)
+        bwd = o2[:, :, 1]
+        if ours:
+            bwd = jnp.where(fl, bwd, fwd)
+        bwd = apply_border(bwd)
+        mn_b, mx_b = o2[:, :, 2], o2[:, :, 3]
 
     from fluidnet_tpu.ops.advect import _maccormack_correct_mac
     dst = _maccormack_correct_mac(u, fwd, bwd, flags, maccormack_strength,
