@@ -117,6 +117,9 @@ def run_training(conf, argv_done=True):
                 loss_div_lambda=mconf.loss_div_lambda,
                 long_term_div_lambda=mconf.long_term_div_lambda,
                 long_term_div_probability=mconf.long_term_div_probability,
+                long_term_div_num_steps=mconf.long_term_div_num_steps,
+                long_term_grad_mode=mconf.long_term_grad_mode,
+                optim=mconf.optim,
                 dt=mconf.dt, train_target_source=mconf.train_target_source)
         else:
             mconf = mconf_loaded

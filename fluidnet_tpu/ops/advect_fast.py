@@ -387,3 +387,100 @@ def advect_vel_fast(dt, u, flags, method, maccormack_strength, window,
     mx = jnp.maximum(mx_f, mx_b)
     clamped = jnp.clip(dst, mn, mx)
     return jnp.where(border, dst, clamped)
+
+
+def advect_vel_scalar_fast(dt, s, u, flags, method, sample_outside_fluid,
+                           maccormack_strength, window, free=None,
+                           border=None):
+    """Combined scalar + MAC-velocity advection on the fused sweep kernel
+    (3-D '...Ours'/euler methods): two pallas_call's total per step — the
+    forward sweep warps density AND all three velocity components from
+    one resident velocity window (positions in-kernel), the backward
+    sweep the same for the MacCormack correction. Semantics match
+    advect_scalar_fast + advect_vel_fast exactly (tested).
+
+    Returns (s_new, u_new)."""
+    is_3d = check_shapes(u, flags, s)
+    assert is_3d, "fused combined advection is 3-D only"
+    W = int(window)
+    ours = method.endswith("Ours")
+    assert method != "maccormack", \
+        "manta scalar clamp is not fused; use the separate paths"
+    from fluidnet_tpu.ops.pallas.mac_sweep import advect_sweep
+
+    if border is None:
+        border = border_mask(flags.shape, is_3d, 1)
+    fl = is_fluid(flags)
+    if ours and free is None:
+        free = chebyshev_free_space(flags, W + 1)
+    free_in = free if ours else None
+    m = fl.astype(s.dtype)
+    # Manta methods always sample outside fluid (plain interpolation):
+    # the fluid-aware renormalization applies to the 'Ours' variants only
+    # (see _sample_scalar_fast's `sample_outside_fluid or not ours`).
+    renorm = ours and not sample_outside_fluid
+    vel_mac = method in ("maccormack", "maccormackOurs", "rk2Ours",
+                         "rk3Ours")
+    scal_mac = method == "maccormackOurs"
+    zero_u = jnp.zeros_like(u)
+    zero_s = jnp.zeros_like(s)
+
+    def vborder(x):
+        return jnp.where(border, zero_u, x)
+
+    def sborder(x):
+        return jnp.where(border, zero_s, x)
+
+    def s_value(o):
+        if renorm:
+            den = o["s_den"]
+            safe = den > 1e-6
+            val = jnp.where(safe, o["s_num"] / jnp.where(safe, den, 1.0),
+                            o["s_plain"])
+        else:
+            val = o["s_plain"]
+        return val
+
+    o1 = advect_sweep(u, s, m, None, None, free_in, -dt, W, ours, True,
+                      renorm)
+    fwd_u = jnp.where(fl, o1["u_w"], u) if ours else o1["u_w"]
+    fwd_u = vborder(fwd_u)
+    fwd_s_full = s_value(o1)
+    if ours:
+        fwd_s_full = jnp.where(fl, fwd_s_full, s)
+    fwd_s = sborder(fwd_s_full)
+
+    if not vel_mac:                       # euler / eulerOurs
+        return fwd_s, fwd_u
+
+    o2 = advect_sweep(u, None, m if scal_mac else None, fwd_u,
+                      fwd_s if scal_mac else None, free_in, dt, W, ours,
+                      scal_mac, renorm)
+    bwd_u = jnp.where(fl, o2["u_w"], fwd_u) if ours else o2["u_w"]
+    bwd_u = vborder(bwd_u)
+
+    from fluidnet_tpu.ops.advect import _maccormack_correct_mac
+    dst_u = _maccormack_correct_mac(u, fwd_u, bwd_u, flags,
+                                    maccormack_strength, is_3d)
+    mn = jnp.minimum(o1["u_mn"], o2["u_mn"])
+    mx = jnp.maximum(o1["u_mx"], o2["u_mx"])
+    u_new = jnp.where(border, dst_u, jnp.clip(dst_u, mn, mx))
+
+    if scal_mac:
+        bwd_s_full = s_value(o2)
+        if ours:
+            bwd_s_full = jnp.where(fl, bwd_s_full, fwd_s)
+        bwd_s = sborder(bwd_s_full)
+        dst_s = fwd_s + jnp.where(fl, maccormack_strength * 0.5 *
+                                  (s - bwd_s), 0.0)
+        if renorm:
+            have = o1["s_mn"] < 1e29
+            clamped = jnp.where(have,
+                                jnp.clip(dst_s, o1["s_mn"], o1["s_mx"]),
+                                fwd_s)
+        else:
+            clamped = jnp.clip(dst_s, o1["s_mn"], o1["s_mx"])
+        s_new = jnp.where(border, dst_s, clamped)
+    else:                                 # rk2Ours/rk3Ours scalar = euler
+        s_new = fwd_s
+    return s_new, u_new

@@ -1,33 +1,41 @@
-"""Fused MAC velocity-advection sweep: backtrace positions computed
-in-kernel.
+"""Fused advection sweep: backtrace positions computed in-kernel.
 
 The generic windowed warp (ops.pallas.warp) takes positions as inputs, so
-a MacCormack velocity sweep materializes 9 position fields per sweep in
-XLA (MAC interpolation of u at each face, free-space trace clamp,
-window clamp) before the kernel reads them back — ~1.3 ms of HBM-bound
-glue per 128^3 step. This kernel derives the positions from the velocity
-window that is already resident in VMEM:
+a MacCormack step materializes 12 position fields per sweep in XLA (MAC /
+centered interpolation of u, free-space trace clamp, window clamp) before
+the kernels read them back — HBM-bound glue. This kernel derives the
+positions from the velocity window that is already resident in VMEM:
 
-  per output slice, per component c:
-    mac_c = getAtMAC_c(u)          (grid.cc:162-204 face averages,
-                                    zero-fill borders)
-    d     = dcoef * mac_c          (dcoef = -dt fwd / +dt bwd)
-    d    *= free-space scale       ('Ours' trace clamp, advect_fast.py)
-    d     = clip(d, +-(W - eps))   (windowed-gather contract)
-    p_c   = cell_index + d
+  per output slice:
+    mac_c  = getAtMAC_c(u)        (grid.cc:162-204 face averages,
+                                   zero-fill borders; velocity groups)
+    cent   = getCentered(u)       (grid.cc:346-356, zero border;
+                                   the scalar group)
+    d      = dcoef * vel          (dcoef = -dt fwd / +dt bwd)
+    d     *= free-space scale     ('Ours' trace clamp, advect_fast.py)
+    d      = clip(d, +-(W - eps)) (windowed-gather contract)
+    p      = cell_index + d
 
-then warps the target field with the same folded corner weights as the
-generic kernel and emits per-component support min/max of the bounds
-source (the MacCormack clamp bounds, tfluids.cc:748-776 semantics on the
-fast path).
+then warps the target fields with the same folded corner weights as the
+generic kernel. Emissions per sweep:
 
-Differentiation: linear in the warped field with weights treated as
-constants (positions get zero cotangents, like the generic warp — the
-reference computes no advection adjoint, generic/tfluids.cc). The VJP
-recomputes positions with the XLA pipeline (training-only cost) and
-reuses the Pallas transpose kernel.
+  forward:  warp(u) (3) + support min/max of u per component (6)
+            [+ scalar: plain=warp(s), num=warp(s*m), den=warp(m),
+               fluid-masked support min/max of s (the MacCormack-Ours
+               clamp bounds + revert test)]
+  backward: warp(fwd_u) (3) + support min/max of u (6)
+            [+ scalar: plain/num/den of fwd_s]
 
-3-D only; 2-D velocity advection stays on the generic warp path.
+One program per (batch, z-block) handles every component — one DMA of
+each window instead of per-group copies.
+
+Differentiation: linear in the warped fields with weights treated as
+constants (positions and the fluid mask get zero cotangents, like the
+generic warp — the reference computes no advection adjoint,
+generic/tfluids.cc). The VJP recomputes positions with the XLA pipeline
+(training-only cost) and reuses the Pallas transpose kernel.
+
+3-D only; 2-D advection stays on the generic warp path.
 """
 
 import functools
@@ -43,12 +51,16 @@ from fluidnet_tpu.ops.pallas.warp import (_corner_weights, _interpret,
                                           DEFAULT_SLICES_PER_PROGRAM)
 
 _EPS = 1e-3
+_BIG = 1e30
 
 
-def _mac_vel_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
-                    has_fwd, zclamped):
-    # refs: u_hbm [, fwd_hbm], out_ref, u_scratch [, fwd_scratch], sems...
-    n_src = 2 if has_fwd else 1
+def _sweep_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
+                  is_bwd, with_scalar, renorm, zclamped):
+    # Sources (each (b, F_i, Z, Y, X) in HBM):
+    #   fwd sweep: u(3) [, s(1), m(1)]
+    #   bwd sweep: u(3) [, m(1)], fwd_u(3) [, fwd_s(1)]
+    n_src = 1 + (2 if with_scalar else 0) if not is_bwd else \
+        2 + (2 if with_scalar else 0)
     srcs_hbm = refs[:n_src]
     out_ref = refs[n_src]
     scratches = refs[n_src + 1:2 * n_src + 1]
@@ -70,6 +82,16 @@ def _mac_vel_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
             sems[i]) for i in range(n_src)]
     for dma in dmas:
         dma.start()
+
+    # source index map
+    I_U = 0
+    if not is_bwd:
+        I_S, I_M = 1, 2
+        I_FU = I_FS = None
+    else:
+        I_M = 1 if with_scalar else None
+        I_FU = 2 if with_scalar else 1
+        I_FS = 3 if with_scalar else None
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
@@ -99,47 +121,77 @@ def _mac_vel_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
     def yp(a):
         return jnp.where(jj == Yt - 1, 0.0, pltpu.roll(a, (-1) % Y, 0))
 
+    def _weights(px, py, pz, k_abs):
+        """Folded corner weights + support indicators; positions are
+        index-offset (p = pos - 0.5)."""
+        wx, sx = _corner_weights(px, Xt, ii, W)
+        wy, sy = _corner_weights(py, Yt, jj, W)
+        zi = jnp.floor(pz).astype(jnp.int32)
+        f1 = pz - zi.astype(pz.dtype)
+        f0 = 1.0 - f1
+        negz = pz < 0.0
+        zi = jnp.where(negz, 0, zi)
+        f0 = jnp.where(negz, 1.0, f0)
+        f1 = jnp.where(negz, 0.0, f1)
+        hiz = zi >= Z - 1
+        zi = jnp.where(hiz, Z - 2, zi)
+        f0 = jnp.where(hiz, 0.0, f0)
+        f1 = jnp.where(hiz, 1.0, f1)
+        indz = [(zi == k_abs + o).astype(px.dtype)
+                for o in range(-W, W + 1)]
+        wz = [f0 * indz[oi] + (f1 * indz[oi - 1] if oi > 0 else 0.0)
+              for oi in range(2 * W + 1)]
+        sz = [indz[oi] + (indz[oi - 1] if oi > 0 else 0.0)
+              for oi in range(2 * W + 1)]
+        return wx, wy, wz, sx, sy, sz
+
+    n_groups = 4 if with_scalar else 3   # 3 MAC + optional center
     per_s = []
     for s in range(S):
         k_abs = ks * S + s
         j0 = s + W                       # scratch index of slice k_abs
-        u0 = _scr(0, 0, j0)
-        u1 = _scr(0, 1, j0)
-        u2 = _scr(0, 2, j0)
-        # z-neighbors, zero beyond the domain borders.
+        u0 = _scr(I_U, 0, j0)
+        u1 = _scr(I_U, 1, j0)
+        u2 = _scr(I_U, 2, j0)
         zvalid_m = (k_abs > 0)
         zvalid_p = (k_abs < Z - 1)
-        u0_zm = jnp.where(zvalid_m, _scr(0, 0, j0 - 1), 0.0)
-        u1_zm = jnp.where(zvalid_m, _scr(0, 1, j0 - 1), 0.0)
-        u0_zp = jnp.where(zvalid_p, _scr(0, 0, j0 + 1), 0.0)
-        u1_zp = jnp.where(zvalid_p, _scr(0, 1, j0 + 1), 0.0)
-        u2_zp = jnp.where(zvalid_p, _scr(0, 2, j0 + 1), 0.0)
+        u0_zm = jnp.where(zvalid_m, _scr(I_U, 0, j0 - 1), 0.0)
+        u1_zm = jnp.where(zvalid_m, _scr(I_U, 1, j0 - 1), 0.0)
+        u0_zp = jnp.where(zvalid_p, _scr(I_U, 0, j0 + 1), 0.0)
+        u1_zp = jnp.where(zvalid_p, _scr(I_U, 1, j0 + 1), 0.0)
+        u2_zp = jnp.where(zvalid_p, _scr(I_U, 2, j0 + 1), 0.0)
 
         # getAtMACX/Y/Z (ops.interp.get_at_mac_*, grid.cc:162-204).
-        macs = []
-        macs.append((
+        vels = [(
             u0,
             0.25 * (u1 + xm(u1) + yp(u1) + xm(yp(u1))),
             0.25 * (u2 + xm(u2) + u2_zp + xm(u2_zp)),
-        ))
-        macs.append((
+        ), (
             0.25 * (u0 + ym(u0) + xp(u0) + ym(xp(u0))),
             u1,
             0.25 * (u2 + ym(u2) + u2_zp + ym(u2_zp)),
-        ))
-        macs.append((
+        ), (
             0.25 * (u0 + u0_zm + xp(u0) + jnp.where(zvalid_m, xp(
-                _scr(0, 0, j0 - 1)), 0.0)),
+                _scr(I_U, 0, j0 - 1)), 0.0)),
             0.25 * (u1 + u1_zm + yp(u1) + jnp.where(zvalid_m, yp(
-                _scr(0, 1, j0 - 1)), 0.0)),
+                _scr(I_U, 1, j0 - 1)), 0.0)),
             u2,
-        ))
+        )]
+        if with_scalar:
+            # getCentered (forces.get_centered): zero on the 1-cell
+            # border.
+            interior = ((ii > 0) & (ii < Xt - 1) & (jj > 0) &
+                        (jj < Yt - 1) & zvalid_m & zvalid_p)
+            cx = jnp.where(interior, 0.5 * (u0 + xp(u0)), 0.0)
+            cy = jnp.where(interior, 0.5 * (u1 + yp(u1)), 0.0)
+            cz = jnp.where(interior, 0.5 * (u2 + u2_zp), 0.0)
+            vels.append((cx, cy, cz))
 
         free = jnp.maximum(free_ref[0, s] - 0.5 - _EPS, 0.0) if ours \
             else None
         comp = []
-        for c in range(3):
-            vx, vy, vz = macs[c]
+        for c in range(n_groups):
+            vx, vy, vz = vels[c]
             dx = dcoef * vx
             dy = dcoef * vy
             dz = dcoef * vz
@@ -152,87 +204,138 @@ def _mac_vel_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
             px = iif + jnp.clip(dx, -lim, lim)
             py = jjf + jnp.clip(dy, -lim, lim)
             pz = k_abs + jnp.clip(dz, -lim, lim)
-            # Folded corner weights (positions are already center-offset:
-            # p = index + displacement = (pos + 0.5) - 0.5).
-            wx, sx = _corner_weights(px, Xt, ii, W)
-            wy, sy = _corner_weights(py, Yt, jj, W)
-            zi = jnp.floor(pz).astype(jnp.int32)
-            f1 = pz - zi.astype(pz.dtype)
-            f0 = 1.0 - f1
-            negz = pz < 0.0
-            zi = jnp.where(negz, 0, zi)
-            f0 = jnp.where(negz, 1.0, f0)
-            f1 = jnp.where(negz, 0.0, f1)
-            hiz = zi >= Z - 1
-            zi = jnp.where(hiz, Z - 2, zi)
-            f0 = jnp.where(hiz, 0.0, f0)
-            f1 = jnp.where(hiz, 1.0, f1)
-            indz = [(zi == k_abs + o).astype(px.dtype)
-                    for o in range(-W, W + 1)]
-            wz = [f0 * indz[oi] + (f1 * indz[oi - 1] if oi > 0 else 0.0)
-                  for oi in range(2 * W + 1)]
-            sz = [indz[oi] + (indz[oi - 1] if oi > 0 else 0.0)
-                  for oi in range(2 * W + 1)]
-            comp.append((wx, wy, wz, sx, sy, sz))
+            if c == 3 and not is_bwd and ours:
+                # Non-fluid cells warp their own centers
+                # (tfluids.cc:157-160); their sampled value stays s.
+                # 'Ours' variants only — Manta methods keep the raw
+                # backtrace.
+                flm = _scr(I_M, 0, j0) > 0.5
+                px = jnp.where(flm, px, iif)
+                py = jnp.where(flm, py, jjf)
+                pz = jnp.where(flm, pz, jnp.full_like(pz, 1.0) * k_abs)
+            comp.append(_weights(px, py, pz, k_abs))
         per_s.append(comp)
 
-    warp_src = 1 if has_fwd else 0       # bwd warps fwd; fwd warps u
-    accs = [[jnp.zeros((Y, X), jnp.float32) for _ in range(3)]
+    I_WU = I_U if not is_bwd else I_FU   # warped velocity source
+    # accumulators
+    vacc = [[jnp.zeros((Y, X), jnp.float32) for _ in range(3)]
             for _ in range(S)]
-    mns = [[jnp.full((Y, X), jnp.inf, jnp.float32) for _ in range(3)]
+    vmn = [[jnp.full((Y, X), jnp.inf, jnp.float32) for _ in range(3)]
            for _ in range(S)]
-    mxs = [[jnp.full((Y, X), -jnp.inf, jnp.float32) for _ in range(3)]
+    vmx = [[jnp.full((Y, X), -jnp.inf, jnp.float32) for _ in range(3)]
            for _ in range(S)]
-    nsrc_range = range(nsrc)
-    for j in nsrc_range:
+    if with_scalar:
+        n_sacc = 3 if renorm else 1      # plain [, num, den]
+        sacc = [[jnp.zeros((Y, X), jnp.float32) for _ in range(n_sacc)]
+                for _ in range(S)]
+        if not is_bwd:
+            smn = [jnp.full((Y, X), jnp.inf, jnp.float32)
+                   for _ in range(S)]
+            smx = [jnp.full((Y, X), -jnp.inf, jnp.float32)
+                   for _ in range(S)]
+
+    for j in range(nsrc):
         svals = [s for s in range(S) if 0 <= j - s <= 2 * W]
         if not svals:
             continue
-        wplanes = [_scr(warp_src, c, j) for c in range(3)]
-        bplanes = wplanes if warp_src == 0 else \
-            [_scr(0, c, j) for c in range(3)]
+        wu = [_scr(I_WU, c, j) for c in range(3)]
+        bu = wu if not is_bwd else [_scr(I_U, c, j) for c in range(3)]
+        if with_scalar:
+            m_pl = _scr(I_M, 0, j)
+            if not is_bwd:
+                s_pl = _scr(I_S, 0, j)
+            else:
+                s_pl = _scr(I_FS, 0, j)
+            planes_s = [s_pl]
+            if renorm:
+                planes_s += [s_pl * m_pl, m_pl]
+            if not is_bwd:
+                if renorm:
+                    bmin_pl = jnp.where(m_pl > 0.5, s_pl, _BIG)
+                    bmax_pl = jnp.where(m_pl > 0.5, s_pl, -_BIG)
+                else:
+                    bmin_pl = bmax_pl = s_pl
         for oyi, oy in enumerate(range(-W, W + 1)):
-            wroll = [pltpu.roll(wplanes[c], (-oy) % Y, 0)
-                     for c in range(3)]
-            broll = wroll if warp_src == 0 else \
-                [pltpu.roll(bplanes[c], (-oy) % Y, 0) for c in range(3)]
+            wu_y = [pltpu.roll(wu[c], (-oy) % Y, 0) for c in range(3)]
+            bu_y = wu_y if not is_bwd else \
+                [pltpu.roll(bu[c], (-oy) % Y, 0) for c in range(3)]
+            if with_scalar:
+                s_y = [pltpu.roll(p, (-oy) % Y, 0) for p in planes_s]
+                if not is_bwd:
+                    bn_y = pltpu.roll(bmin_pl, (-oy) % Y, 0)
+                    bx_y = pltpu.roll(bmax_pl, (-oy) % Y, 0)
             for oxi, ox in enumerate(range(-W, W + 1)):
-                wvals = [pltpu.roll(wroll[c], (-ox) % X, 1)
-                         for c in range(3)]
-                bvals = wvals if warp_src == 0 else \
-                    [pltpu.roll(broll[c], (-ox) % X, 1) for c in range(3)]
+                wu_v = [pltpu.roll(wu_y[c], (-ox) % X, 1)
+                        for c in range(3)]
+                bu_v = wu_v if not is_bwd else \
+                    [pltpu.roll(bu_y[c], (-ox) % X, 1) for c in range(3)]
+                if with_scalar:
+                    s_v = [pltpu.roll(p, (-ox) % X, 1) for p in s_y]
+                    if not is_bwd:
+                        bn_v = pltpu.roll(bn_y, (-ox) % X, 1)
+                        bx_v = pltpu.roll(bx_y, (-ox) % X, 1)
                 for s in svals:
                     ozi = j - s
                     for c in range(3):
                         wx, wy, wz, sx, sy, sz = per_s[s][c]
                         wfull = wz[ozi] * wy[oyi] * wx[oxi]
-                        accs[s][c] = accs[s][c] + wvals[c] * wfull
+                        vacc[s][c] = vacc[s][c] + wu_v[c] * wfull
                         s3 = (sz[ozi] * sy[oyi] * sx[oxi]) > 0.5
-                        mns[s][c] = jnp.where(
-                            s3, jnp.minimum(mns[s][c], bvals[c]),
-                            mns[s][c])
-                        mxs[s][c] = jnp.where(
-                            s3, jnp.maximum(mxs[s][c], bvals[c]),
-                            mxs[s][c])
+                        vmn[s][c] = jnp.where(
+                            s3, jnp.minimum(vmn[s][c], bu_v[c]),
+                            vmn[s][c])
+                        vmx[s][c] = jnp.where(
+                            s3, jnp.maximum(vmx[s][c], bu_v[c]),
+                            vmx[s][c])
+                    if with_scalar:
+                        wx, wy, wz, sx, sy, sz = per_s[s][3]
+                        wfull = wz[ozi] * wy[oyi] * wx[oxi]
+                        for a in range(n_sacc):
+                            sacc[s][a] = sacc[s][a] + s_v[a] * wfull
+                        if not is_bwd:
+                            s3 = (sz[ozi] * sy[oyi] * sx[oxi]) > 0.5
+                            smn[s] = jnp.where(
+                                s3, jnp.minimum(smn[s], bn_v), smn[s])
+                            smx[s] = jnp.where(
+                                s3, jnp.maximum(smx[s], bx_v), smx[s])
+
     for s in range(S):
         for c in range(3):
-            out_ref[0, c, s] = accs[s][c]
-            out_ref[0, 3 + c, s] = mns[s][c]
-            out_ref[0, 6 + c, s] = mxs[s][c]
+            out_ref[0, c, s] = vacc[s][c]
+            out_ref[0, 3 + c, s] = vmn[s][c]
+            out_ref[0, 6 + c, s] = vmx[s][c]
+        if with_scalar:
+            base = 9
+            for a in range(n_sacc):
+                out_ref[0, base + a, s] = sacc[s][a]
+            if not is_bwd:
+                out_ref[0, base + n_sacc, s] = smn[s]
+                out_ref[0, base + n_sacc + 1, s] = smx[s]
 
 
-@functools.partial(jax.jit, static_argnames=("window", "ours"))
-def _mac_vel_sweep_impl(u, fwd, free, dcoef, window, ours):
-    """u (b, 3, Z, Y, X); fwd None (fwd sweep: warp u) or the advected
-    field (bwd sweep: warp fwd, bounds from u); free (b, 1, Z, Y, X) when
-    ours. Returns (warped, mn, mx), each (b, 3, Z, Y, X)."""
+@functools.partial(jax.jit, static_argnames=("window", "ours", "renorm",
+                                             "with_scalar"))
+def _sweep_impl(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
+                with_scalar, renorm):
+    """See module docstring. u (b,3,Z,Y,X); s/m/fwd_s (b,1,Z,Y,X) or
+    None; fwd_u (b,3,Z,Y,X) or None (None => forward sweep).
+    Returns a dict of outputs."""
     W = int(window)
     b, _, Z, Y, X = u.shape
-    has_fwd = fwd is not None
-    Xp, Yp = _round_up(X, 128), _round_up(Y, 8)
-    srcs = [u] + ([fwd] if has_fwd else [])
+    is_bwd = fwd_u is not None
+    srcs = [u]
+    if with_scalar and not is_bwd:
+        srcs += [s, m]
+    if is_bwd:
+        if with_scalar:
+            srcs += [m]
+        srcs += [fwd_u]
+        if with_scalar:
+            srcs += [fwd_s]
     if free is None:
         free = jnp.zeros((b, 1, Z, Y, X), jnp.float32)
+
+    Xp, Yp = _round_up(X, 128), _round_up(Y, 8)
     if (Xp, Yp) != (X, Y):
         fpads = ((0, 0),) * 3 + ((0, Yp - Y), (0, Xp - X))
         srcs = [jnp.pad(f, fpads) for f in srcs]
@@ -241,73 +344,91 @@ def _mac_vel_sweep_impl(u, fwd, free, dcoef, window, ours):
     S = min(DEFAULT_SLICES_PER_PROGRAM, Z)
     Zs = _round_up(Z, S)
     zclamped = Zs == Z and Z >= S + 2 * W and S >= W
-    if zclamped:
-        srcps = [f.reshape(b, 3, Z, Yp, Xp) for f in srcs]
-    else:
+    if not zclamped:
         zpad = (W, Zs - Z + W)
-        srcps = [jnp.pad(f, ((0, 0), (0, 0), zpad, (0, 0), (0, 0)))
-                 for f in srcs]
+        srcs = [jnp.pad(f, ((0, 0), (0, 0), zpad, (0, 0), (0, 0)))
+                for f in srcs]
     if Zs != Z:
-        free = jnp.pad(free, ((0, 0), (0, 0), (0, Zs - Z), (0, 0), (0, 0)))
+        free = jnp.pad(free, ((0, 0), (0, 0), (0, Zs - Z), (0, 0),
+                              (0, 0)))
     freer = free.reshape(b, Zs, Yp, Xp)
     dt_arr = jnp.asarray(dcoef, jnp.float32).reshape(1)
 
-    n_src = len(srcps)
+    n_sacc = (3 if renorm else 1) if with_scalar else 0
+    C_out = 9 + (n_sacc + (0 if is_bwd else 2) if with_scalar else 0)
     out = pl.pallas_call(
-        functools.partial(_mac_vel_kernel, W=W, S=S, Z=Z, Y=Yp, X=Xp,
-                          Yt=Y, Xt=X, ours=ours, has_fwd=has_fwd,
+        functools.partial(_sweep_kernel, W=W, S=S, Z=Z, Y=Yp, X=Xp,
+                          Yt=Y, Xt=X, ours=ours, is_bwd=is_bwd,
+                          with_scalar=with_scalar, renorm=renorm,
                           zclamped=zclamped),
         grid=(b, Zs // S),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, S, Yp, Xp), lambda bb, k: (bb, k, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in srcps],
-        out_specs=pl.BlockSpec((1, 9, S, Yp, Xp),
+        ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in srcs],
+        out_specs=pl.BlockSpec((1, C_out, S, Yp, Xp),
                                lambda bb, k: (bb, 0, k, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 9, Zs, Yp, Xp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((3, S + 2 * W, Yp, Xp), jnp.float32)
-                        for _ in srcps] +
-                       [pltpu.SemaphoreType.DMA for _ in srcps],
+        out_shape=jax.ShapeDtypeStruct((b, C_out, Zs, Yp, Xp),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((f.shape[1], S + 2 * W, Yp, Xp),
+                                   jnp.float32) for f in srcs] +
+                       [pltpu.SemaphoreType.DMA for _ in srcs],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(dt_arr, freer, *srcps)
+    )(dt_arr, freer, *srcs)
     out = out[..., :Z, :Y, :X]
-    return out[:, 0:3], out[:, 3:6], out[:, 6:9]
+    res = {"u_w": out[:, 0:3], "u_mn": out[:, 3:6], "u_mx": out[:, 6:9]}
+    if with_scalar:
+        if renorm:
+            res["s_plain"] = out[:, 9:10]
+            res["s_num"] = out[:, 10:11]
+            res["s_den"] = out[:, 11:12]
+            nx = 12
+        else:
+            res["s_plain"] = out[:, 9:10]
+            nx = 10
+        if not is_bwd:
+            res["s_mn"] = out[:, nx:nx + 1]
+            res["s_mx"] = out[:, nx + 1:nx + 2]
+    return res
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def mac_vel_sweep(u, fwd, free, dcoef, window, ours):
-    """One fused MacCormack velocity sweep (3-D): see module docstring.
-
-    fwd=None: forward sweep — warps u with bounds from u.
-    fwd=array: backward sweep — warps fwd with bounds from u.
-    dcoef: displacement coefficient (-dt forward, +dt backward).
-    Returns (warped, mn, mx)."""
-    return _mac_vel_sweep_impl(u, fwd, free, dcoef, window, ours)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _sweep(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours, with_scalar,
+           renorm):
+    return _sweep_impl(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
+                       with_scalar, renorm)
 
 
-def _mac_sweep_fwd(u, fwd, free, dcoef, window, ours):
-    out = _mac_vel_sweep_impl(u, fwd, free, dcoef, window, ours)
-    return out, (u, fwd is not None, free, dcoef)
+def _sweep_fwd_rule(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
+                    with_scalar, renorm):
+    out = _sweep_impl(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
+                      with_scalar, renorm)
+    return out, (u, m, fwd_u is not None, free, dcoef)
 
 
-def _positions_xla(u, free, dcoef, window, ours):
-    """The XLA position pipeline (VJP-only): mirrors _mac_positions +
-    _trace_clamp + clamp_displacement in ops.advect_fast."""
+def _positions_xla(u, free, dcoef, window, ours, center=False,
+                   m=None):
+    """The XLA position pipeline (VJP-only): mirrors the in-kernel
+    computation."""
     from fluidnet_tpu.ops.interp import (cell_center_positions,
                                          get_at_mac_x, get_at_mac_y,
                                          get_at_mac_z)
-    b = u.shape[0]
+    from fluidnet_tpu.ops.forces import get_centered
     px0, py0, pz0 = cell_center_positions(u.shape, u.dtype)
-    pxs, pys, pzs = [], [], []
     allowed = None
     if ours:
         allowed = jnp.maximum(free[:, 0] - 0.5 - _EPS, 0.0)
-    for mac in (get_at_mac_x(u, True), get_at_mac_y(u, True),
-                get_at_mac_z(u, True)):
+    if center:
+        vels = [get_centered(u, True)]
+    else:
+        vels = [get_at_mac_x(u, True), get_at_mac_y(u, True),
+                get_at_mac_z(u, True)]
+    pxs, pys, pzs = [], [], []
+    for mac in vels:
         dx = dcoef * mac[:, 0]
         dy = dcoef * mac[:, 1]
         dz = dcoef * mac[:, 2]
@@ -317,28 +438,74 @@ def _positions_xla(u, free, dcoef, window, ours):
             scale = jnp.minimum(1.0, allowed / jnp.maximum(mag, 1e-12))
             dx, dy, dz = dx * scale, dy * scale, dz * scale
         lim = window - _EPS
-        pxs.append(jnp.broadcast_to(px0, dx.shape) + jnp.clip(dx, -lim,
-                                                              lim))
-        pys.append(jnp.broadcast_to(py0, dy.shape) + jnp.clip(dy, -lim,
-                                                              lim))
-        pzs.append(jnp.broadcast_to(pz0, dz.shape) + jnp.clip(dz, -lim,
-                                                              lim))
+        px = jnp.broadcast_to(px0, dx.shape) + jnp.clip(dx, -lim, lim)
+        py = jnp.broadcast_to(py0, dy.shape) + jnp.clip(dy, -lim, lim)
+        pz = jnp.broadcast_to(pz0, dz.shape) + jnp.clip(dz, -lim, lim)
+        if center and m is not None:
+            flm = m[:, 0] > 0.5
+            px = jnp.where(flm, px, jnp.broadcast_to(px0, px.shape))
+            py = jnp.where(flm, py, jnp.broadcast_to(py0, py.shape))
+            pz = jnp.where(flm, pz, jnp.broadcast_to(pz0, pz.shape))
+        pxs.append(px)
+        pys.append(py)
+        pzs.append(pz)
     return jnp.stack(pxs, 1), jnp.stack(pys, 1), jnp.stack(pzs, 1)
 
 
-def _mac_sweep_bwd(window, ours, res, cots):
-    u, has_fwd, free, dcoef = res
-    g_warp, _, _ = cots                  # bounds get zero cotangents
-    px, py, pz = _positions_xla(jax.lax.stop_gradient(u), free, dcoef,
-                                window, ours)
-    grad = _warp_transpose_pallas(g_warp[:, :, None], px, py, pz,
-                                  int(window), False)[:, :, 0]
-    g_free = jnp.zeros_like(free) if free is not None else None
+def _sweep_bwd_rule(window, ours, with_scalar, renorm, res, cots):
+    u, m, is_bwd, free, dcoef = res
+    u_c = jax.lax.stop_gradient(u)
+    g_u = cots["u_w"]
+    px, py, pz = _positions_xla(u_c, free, dcoef, window, ours)
+    grad_uw = _warp_transpose_pallas(g_u[:, :, None], px, py, pz,
+                                     int(window), False)[:, :, 0]
+    grad_s = grad_fs = None
+    if with_scalar:
+        mask_fwd = m if (not is_bwd and ours) else None
+        cpx, cpy, cpz = _positions_xla(u_c, free, dcoef, window, ours,
+                                       center=True, m=mask_fwd)
+        g_sc = cots["s_plain"]
+        if renorm:
+            g_sc = jnp.stack([cots["s_plain"], cots["s_num"]], axis=1)
+            gt = _warp_transpose_pallas(g_sc, cpx.repeat(2, 1),
+                                        cpy.repeat(2, 1),
+                                        cpz.repeat(2, 1), int(window),
+                                        False)
+            grad_plain, grad_num = gt[:, 0], gt[:, 1]
+            grad_sval = grad_plain + m * grad_num
+        else:
+            gt = _warp_transpose_pallas(g_sc[:, :, None], cpx, cpy, cpz,
+                                        int(window), False)[:, :, 0]
+            grad_sval = gt
+        if is_bwd:
+            grad_fs = grad_sval
+        else:
+            grad_s = grad_sval
+
+    def z(a):
+        return jnp.zeros_like(a) if a is not None else None
+
     g_dcoef = jnp.zeros_like(jnp.asarray(dcoef, jnp.float32))
-    if has_fwd:
-        # bwd sweep: the warped field is fwd; u only shapes the weights.
-        return (jnp.zeros_like(u), grad, g_free, g_dcoef)
-    return (grad, None, g_free, g_dcoef)
+    if is_bwd:
+        # s input is always None on the backward sweep.
+        return (z(u), None, z(m), grad_uw, grad_fs, z(free), g_dcoef)
+    return (grad_uw, grad_s, z(m), None, None, z(free), g_dcoef)
 
 
-mac_vel_sweep.defvjp(_mac_sweep_fwd, _mac_sweep_bwd)
+_sweep.defvjp(_sweep_fwd_rule, _sweep_bwd_rule)
+
+
+def advect_sweep(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
+                 with_scalar, renorm):
+    """Public fused sweep. fwd_u=None => forward sweep (warps u [and s]),
+    else backward sweep (warps fwd_u [and fwd_s], bounds from u).
+    Returns the output dict of _sweep_impl."""
+    return _sweep(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
+                  with_scalar, renorm)
+
+
+def mac_vel_sweep(u, fwd, free, dcoef, window, ours):
+    """Velocity-only fused sweep: returns (warped, mn, mx)."""
+    out = _sweep(u, None, None, fwd, None, free, dcoef, window, ours,
+                 False, False)
+    return out["u_w"], out["u_mn"], out["u_mx"]

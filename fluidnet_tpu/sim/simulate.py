@@ -99,6 +99,19 @@ def simulate(state: FluidState, mconf: ModelConfig,
                 from fluidnet_tpu.ops.advect_fast import chebyshev_free_space
                 free_space = chebyshev_free_space(flags, window + 1)
             d_ = density_
+            is_3d = flags.shape[2] > 1
+            # Fused combined path: density + all three MAC components in
+            # one kernel per sweep (positions in-kernel).
+            if (window and is_3d and density_ is not None
+                    and density_.shape[1] == 1
+                    and mconf.advection_method != "maccormack"):
+                from fluidnet_tpu.ops.advect_fast import \
+                    advect_vel_scalar_fast
+                d_, u2 = advect_vel_scalar_fast(
+                    dt, density_, u_, flags, mconf.advection_method,
+                    False, mconf.maccormack_strength, window,
+                    free=free_space)
+                return u2, d_
             if density_ is not None:
                 chans = [advect_scalar(
                     dt, density_[:, c:c + 1], u_, flags,

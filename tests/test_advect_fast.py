@@ -257,3 +257,27 @@ def test_warp_vjp_adjoint_identity():
     lhs = float(jnp.vdot(out, g))
     rhs = float(jnp.vdot(v, grad_v))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["maccormackOurs", "eulerOurs", "euler",
+                                    "rk2Ours"])
+@pytest.mark.parametrize("sof", [False, True])
+def test_combined_sweep_matches_separate(method, sof):
+    """advect_vel_scalar_fast (one fused kernel per sweep) equals the
+    separate advect_scalar_fast + advect_vel_fast paths."""
+    from fluidnet_tpu.ops.advect_fast import (advect_scalar_fast,
+                                              advect_vel_fast,
+                                              advect_vel_scalar_fast)
+
+    rng = np.random.default_rng(5)
+    flags, u, s = small_case(rng, True, vel_scale=0.9, p_obstacle=0.1)
+    dt, strength, W = 0.3, 0.6, 1
+
+    s_sep = advect_scalar_fast(dt, s, u, flags, method, sof, strength, W)
+    u_sep = advect_vel_fast(dt, u, flags, method, strength, W)
+    s_cmb, u_cmb = advect_vel_scalar_fast(dt, s, u, flags, method, sof,
+                                          strength, W)
+    np.testing.assert_allclose(np.asarray(u_cmb), np.asarray(u_sep),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_cmb), np.asarray(s_sep),
+                               rtol=1e-5, atol=1e-5)
