@@ -435,16 +435,23 @@ def _input_scale(mconf, p_div, u_div, div):
         mconf.normalize_input_chan]
     b = chan.shape[0]
     flat = chan.reshape(b, -1)
+    thr = mconf.normalize_input_threshold
+    # Inner where keeps sqrt away from 0: its infinite derivative would
+    # poison full-rollout gradients (0 * inf = NaN) even though the
+    # threshold clamp discards the value.
     if mconf.normalize_input_func == "std":
         n = flat.shape[1]
         mean = jnp.mean(flat, axis=1, keepdims=True)
         var = jnp.sum((flat - mean) ** 2, axis=1) / (n - 1)
-        s = jnp.sqrt(var)
+        ok = var > thr * thr
+        s = jnp.where(ok, jnp.sqrt(jnp.where(ok, var, 1.0)), thr)
     elif mconf.normalize_input_func == "norm":
-        s = jnp.sqrt(jnp.sum(flat * flat, axis=1))
+        sq = jnp.sum(flat * flat, axis=1)
+        ok = sq > thr * thr
+        s = jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), thr)
     else:
         raise ValueError(mconf.normalize_input_func)
-    s = jnp.maximum(s, mconf.normalize_input_threshold)
+    s = jnp.maximum(s, thr)
     return s.reshape(b, 1, 1, 1, 1)
 
 

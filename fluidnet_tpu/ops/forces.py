@@ -118,8 +118,11 @@ def vorticity_confinement(u, flags, strength):
     curl = _curl(cent, is_3d)
     curl = jnp.where(interior5, curl, jnp.zeros_like(curl))
     norm_sq = jnp.sum(curl * curl, axis=1)
-    # vec3::norm returns 0 below kEpsilon (vec3.cu.h:119-127).
-    curl_norm = jnp.where(norm_sq > _VEC3_EPS, jnp.sqrt(norm_sq), 0.0)
+    # vec3::norm returns 0 below kEpsilon (vec3.cu.h:119-127). The inner
+    # where keeps sqrt off 0 so the cotangent of the untaken branch stays
+    # finite (d sqrt(0) = inf; 0 * inf = NaN under full-rollout grads).
+    nz = norm_sq > _VEC3_EPS
+    curl_norm = jnp.where(nz, jnp.sqrt(jnp.where(nz, norm_sq, 1.0)), 0.0)
     curl_norm = jnp.where(interior, curl_norm, 0.0)
 
     gx = 0.5 * (st.xp(curl_norm) - st.xm(curl_norm))
@@ -129,7 +132,8 @@ def vorticity_confinement(u, flags, strength):
     else:
         gz = jnp.zeros_like(gx)
     g_sq = gx * gx + gy * gy + gz * gz
-    g_norm = jnp.where(g_sq > _VEC3_EPS, jnp.sqrt(g_sq), 0.0)
+    gz_ok = g_sq > _VEC3_EPS
+    g_norm = jnp.where(gz_ok, jnp.sqrt(jnp.where(gz_ok, g_sq, 1.0)), 0.0)
     safe = g_norm > _VEC3_EPS
     inv = jnp.where(safe, 1.0 / jnp.where(safe, g_norm, 1.0), 0.0)
     gx, gy, gz = gx * inv, gy * inv, gz * inv

@@ -181,3 +181,33 @@ def test_grad_norm_clipped():
     # raw grad norm reported can exceed threshold; update must be finite.
     leaves = jax.tree_util.tree_leaves(state2.params)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_grad_safe_sqrt_guards():
+    """Full-rollout ('full' grad mode) differentiates through vorticity
+    confinement and input normalization; their norm guards must use the
+    double-where pattern or 0 * d(sqrt(0)) = NaN poisons every gradient
+    (the classic jnp.where NaN trap)."""
+    import jax
+    import jax.numpy as jnp
+    from fluidnet_tpu.core.config import ModelConfig
+    from fluidnet_tpu.core.grids import empty_domain
+    from fluidnet_tpu.ops.forces import vorticity_confinement
+    from fluidnet_tpu.models.fluidnet import apply_model
+    from fluidnet_tpu.train.train import init_train_state
+
+    B, Z, Y, X = 1, 6, 8, 16
+    flags = empty_domain((B, 1, Z, Y, X), True)
+    # Sparse curl: most of the grid has |curl| == 0 (the trap trigger).
+    u = jnp.zeros((B, 3, Z, Y, X), jnp.float32).at[:, 0, 3, 4, 8].set(1.0)
+    g = jax.grad(lambda uu: jnp.sum(
+        vorticity_confinement(uu, flags, 0.5) ** 2))(u)
+    assert bool(jnp.isfinite(g).all())
+
+    for func in ("std", "norm"):
+        mconf = ModelConfig(is_3d=True, normalize_input_func=func)
+        st = init_train_state(jax.random.PRNGKey(0), mconf)
+        uz = jnp.zeros((B, 3, Z, Y, X), jnp.float32)   # uniform: std == 0
+        gz = jax.grad(lambda uu: jnp.sum(apply_model(
+            st.params, mconf, uz[:, :1], uu, flags)[1] ** 2))(uz)
+        assert bool(jnp.isfinite(gz).all()), func
