@@ -76,6 +76,37 @@ def _epoch(loader, state, mconf, key, py_rng, training, max_batches=0):
     return state, {k: v / max(n, 1) for k, v in sums.items()}, key
 
 
+def _rollout_metric(te_loader, state, mconf, n_steps):
+    """Mean final-step ||div|| of an n-step free rollout from the first
+    test batch's projected state (calc_stats.lua semantics, miniaturized
+    for per-epoch model selection)."""
+    from fluidnet_tpu.core.grids import FluidState
+    from fluidnet_tpu.models.fluidnet import apply_model
+    from fluidnet_tpu.ops.divergence import velocity_divergence
+    from fluidnet_tpu.sim.simulate import simulate
+
+    batch, _ = next(iter(te_loader.epoch(max_batches=1)))
+    s = FluidState(u=jnp.asarray(batch["u_target"]),
+                   p=jnp.asarray(batch["p_target"]),
+                   flags=jnp.asarray(batch["flags"]),
+                   density=jnp.asarray(batch["density"])
+                   if batch.get("density") is not None else None)
+
+    @jax.jit
+    def roll(s0, params):
+        def body(carry, _):
+            st = simulate(carry, mconf, model_fn=lambda pr, p, u, f:
+                          apply_model(pr, mconf, p, u, f), params=params)
+            return st, None
+        sN, _ = jax.lax.scan(body, s0, None, length=n_steps)
+        div = velocity_divergence(sN.u, sN.flags)
+        b = div.shape[0]
+        return jnp.mean(jnp.sqrt(jnp.sum(div.reshape(b, -1) ** 2,
+                                         axis=1)))
+
+    return float(roll(s, state.params))
+
+
 def run_training(conf, argv_done=True):
     mconf = conf.new_model
     np.random.seed(conf.seed)
@@ -104,6 +135,7 @@ def run_training(conf, argv_done=True):
     state = init_train_state(init_key, mconf)
     start_epoch = 0
     best_loss = float("inf")
+    best_rollout = float("inf")
     if conf.load_model and os.path.isdir(model_path + "_lastEpoch"):
         state, mconf_loaded, extra = load_checkpoint(
             model_path + "_lastEpoch", state)
@@ -187,10 +219,21 @@ def run_training(conf, argv_done=True):
         if conf.eval_during_training:
             _, te_m, key = _epoch(te_loader, state, mconf, key, py_rng,
                                   False, max_batches)
+        rollout_div = float("nan")
+        if conf.rollout_select_steps and conf.eval_during_training and \
+                mconf.sim_method == "convnet":
+            rollout_div = _rollout_metric(te_loader, state, mconf,
+                                          conf.rollout_select_steps)
+            if rollout_div < best_rollout:
+                best_rollout = rollout_div
+                save_checkpoint(model_path + "_bestRollout", state, mconf,
+                                {"epoch": epoch + 1,
+                                 "rollout_div": rollout_div})
         dt_ep = time.time() - t0
         print(f"epoch {epoch}: train {tr_m['total']:.4e} "
               f"(div {tr_m['div']:.4e}, lt {tr_m['long_term_div']:.4e}) | "
-              f"test {te_m['total']:.4e} | {dt_ep:.1f}s")
+              f"test {te_m['total']:.4e} | rollout||div|| "
+              f"{rollout_div:.3e} | {dt_ep:.1f}s")
         logger.add([epoch, tr_m["total"], tr_m["p"], tr_m["u"], tr_m["div"],
                     tr_m["long_term_div"], te_m["total"], te_m["p"],
                     te_m["u"], te_m["div"], te_m["long_term_div"]])

@@ -143,6 +143,13 @@ class Config:
     device_data_cache_max_gb: float = 8.0
     profile: bool = True
     resume_training: bool = False
+    # Long-horizon model selection: every epoch, roll one held-out batch
+    # forward this many steps with the trained projection and track the
+    # final ||div||; the best checkpoint by that metric is saved as
+    # <model>_bestRollout. One-step test loss alone selects
+    # rollout-unstable models (the unrolled loss measures divergence
+    # only after a terminal projection). 0 disables.
+    rollout_select_steps: int = 24
     train: bool = True
     seed: int = 1
     # lrEpochMults pairs; empty == never (default has epoch=inf).

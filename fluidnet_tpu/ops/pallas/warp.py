@@ -348,24 +348,33 @@ def _warp_transpose_xla(g, px, py, pz, window, nearest, F, ZYX):
 
 
 def _warp_transpose_kernel(pos_hbm, g_hbm, out_ref, pscr, gscr, psem, gsem,
-                           *, W, Z, Y, X, Yt, Xt, F, nearest):
+                           *, W, S, Z, Y, X, Yt, Xt, F, nearest,
+                           zclamped):
     """Adjoint of the windowed warp, as a windowed roll-accumulate.
 
-    grad[c] = sum_o g[c-o] * w_o[c-o]: each output slice k gathers the
-    cotangent of the 2W+1 source slices whose interpolation support can
-    reach it, re-deriving each source slice's corner weights from its
-    positions in VMEM (the same _corner_weights as the forward kernel) and
-    keeping the z-tap that lands on k. In-plane, products are formed at
-    source coordinates and rolled to target coordinates
-    (roll(a*b) == roll(a)*roll(b) per axis)."""
+    grad[k] = sum_s roll(g_s * w_s->k): each program computes S output
+    slices; every source slice in the (S + 2W)-wide window is processed
+    once — its in-plane weight products are pre-rolled to target
+    coordinates (roll(a*b) == roll(a)*roll(b) per axis) as the pair
+    (P0, P1) = roll(g*f0*wy*wx), roll(g*f1*wy*wx) plus the rolled base
+    corner Zr = roll(zi), and each covered output slice k keeps its z-tap
+    with two comparisons: P0*(Zr == k) + P1*(Zr == k-1) — so the rolls
+    are shared across the up-to-(2W+1) outputs a source reaches."""
     bg = pl.program_id(0)
-    k = pl.program_id(1)
+    ks = pl.program_id(1)
     noff = 2 * W + 1
+    nsrc = S + 2 * W
 
-    pdma = pltpu.make_async_copy(pos_hbm.at[bg, :, pl.ds(k, noff)], pscr,
-                                 psem)
-    gdma = pltpu.make_async_copy(g_hbm.at[bg, :, pl.ds(k, noff)], gscr,
-                                 gsem)
+    if zclamped:
+        start = jnp.clip(ks * S - W, 0, Z - nsrc)
+        shift = ks * S - W - start
+    else:
+        start = ks * S
+        shift = None
+    pdma = pltpu.make_async_copy(pos_hbm.at[bg, :, pl.ds(start, nsrc)],
+                                 pscr, psem)
+    gdma = pltpu.make_async_copy(g_hbm.at[bg, :, pl.ds(start, nsrc)],
+                                 gscr, gsem)
     pdma.start()
     gdma.start()
 
@@ -374,12 +383,22 @@ def _warp_transpose_kernel(pos_hbm, g_hbm, out_ref, pscr, gscr, psem, gsem,
     pdma.wait()
     gdma.wait()
 
-    accs = [jnp.zeros((Y, X), jnp.float32) for _ in range(F)]
-    # szi indexes the source-slice window: source slice s = k + szi - W.
-    sz_range = range(noff) if Z > 1 else [W]
-    for szi in sz_range:
-        px = pscr[0, szi] - 0.5
-        py = pscr[1, szi] - 0.5
+    def rd(scr, f, j):
+        if not zclamped:
+            return scr[f, j]
+        return scr[f, jnp.clip(j + shift, 0, nsrc - 1)]
+
+    accs = [[jnp.zeros((Y, X), jnp.float32) for _ in range(F)]
+            for _ in range(S)]
+    # j indexes the source-slice window: source s_abs = ks*S - W + j.
+    j_range = range(nsrc) if Z > 1 else [W]
+    for j in j_range:
+        kvals = [s for s in range(S) if 0 <= j - s <= 2 * W] \
+            if Z > 1 else [0]
+        if not kvals:
+            continue
+        px = rd(pscr, 0, j) - 0.5
+        py = rd(pscr, 1, j) - 0.5
         if nearest:
             wx = _nearest_weights(px, Xt, ii, W)
             wy = _nearest_weights(py, Yt, jj, W)
@@ -387,13 +406,19 @@ def _warp_transpose_kernel(pos_hbm, g_hbm, out_ref, pscr, gscr, psem, gsem,
             wx, _ = _corner_weights(px, Xt, ii, W)
             wy, _ = _corner_weights(py, Yt, jj, W)
         if Z > 1:
-            pz = pscr[2, szi] - 0.5
+            # With a clamped (padless) DMA window, an out-of-domain source
+            # index reads a clamped slice whose garbage positions could
+            # alias a real output: zero it by slice validity instead.
+            s_abs = ks * S - W + j
+            valid = jnp.logical_and(s_abs >= 0, s_abs < Z) if zclamped \
+                else True
+            pz = rd(pscr, 2, j) - 0.5
             if nearest:
-                zidx = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, Z - 1)
-                wzP = (zidx == k).astype(px.dtype)
+                zi = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, Z - 1)
+                A0 = [jnp.where(valid, rd(gscr, f, j), 0.0)
+                      for f in range(F)]
+                A1 = None
             else:
-                # Of slice s's z-taps, only the one landing on k matters:
-                # wz = f0*[zi == k] + f1*[zi == k-1].
                 zi = jnp.floor(pz).astype(jnp.int32)
                 f1 = pz - zi.astype(pz.dtype)
                 f0 = 1.0 - f1
@@ -405,21 +430,51 @@ def _warp_transpose_kernel(pos_hbm, g_hbm, out_ref, pscr, gscr, psem, gsem,
                 zi = jnp.where(hiz, Z - 2, zi)
                 f0 = jnp.where(hiz, 0.0, f0)
                 f1 = jnp.where(hiz, 1.0, f1)
-                wzP = f0 * (zi == k) + f1 * (zi == k - 1)
-            A = [gscr[f, szi] * wzP for f in range(F)]
+                if zclamped:
+                    f0 = jnp.where(valid, f0, 0.0)
+                    f1 = jnp.where(valid, f1, 0.0)
+                A0 = [rd(gscr, f, j) * f0 for f in range(F)]
+                A1 = [rd(gscr, f, j) * f1 for f in range(F)]
         else:
-            A = [gscr[f, szi] for f in range(F)]
+            zi = None
+            A0 = [rd(gscr, f, j) for f in range(F)]
+            A1 = None
         for oyi, oy in enumerate(range(-W, W + 1)):
-            By = [pltpu.roll(A[f] * wy[oyi], oy % Y, 0) if Y > 1
-                  else A[f] * wy[oyi] for f in range(F)]
+            B0 = [pltpu.roll(A0[f] * wy[oyi], oy % Y, 0) if Y > 1
+                  else A0[f] * wy[oyi] for f in range(F)]
+            B1 = [pltpu.roll(A1[f] * wy[oyi], oy % Y, 0) if Y > 1
+                  else A1[f] * wy[oyi] for f in range(F)] \
+                if A1 is not None else None
             wxr = [pltpu.roll(wx[oxi], oy % Y, 0) if Y > 1 else wx[oxi]
                    for oxi in range(noff)]
+            Zy = (pltpu.roll(zi, oy % Y, 0) if Y > 1 else zi) \
+                if zi is not None else None
             for oxi, ox in enumerate(range(-W, W + 1)):
-                for f in range(F):
-                    accs[f] = accs[f] + pltpu.roll(By[f] * wxr[oxi],
-                                                   ox % X, 1)
-    for f in range(F):
-        out_ref[0, f, 0] = accs[f]
+                P0 = [pltpu.roll(B0[f] * wxr[oxi], ox % X, 1)
+                      for f in range(F)]
+                P1 = [pltpu.roll(B1[f] * wxr[oxi], ox % X, 1)
+                      for f in range(F)] if B1 is not None else None
+                Zr = pltpu.roll(Zy, ox % X, 1) if Zy is not None else None
+                for s in kvals:
+                    if Zr is None:                    # 2-D
+                        for f in range(F):
+                            accs[s][f] = accs[s][f] + P0[f]
+                        continue
+                    k_abs = ks * S + s
+                    i0 = (Zr == k_abs)
+                    if P1 is None:                    # nearest
+                        for f in range(F):
+                            accs[s][f] = accs[s][f] + jnp.where(
+                                i0, P0[f], 0.0)
+                    else:
+                        i1 = (Zr == k_abs - 1)
+                        for f in range(F):
+                            accs[s][f] = accs[s][f] + jnp.where(
+                                i0, P0[f], 0.0) + jnp.where(
+                                i1, P1[f], 0.0)
+    for s in range(S):
+        for f in range(F):
+            out_ref[0, f, s] = accs[s][f]
 
 
 @functools.partial(jax.jit, static_argnames=("window", "nearest"))
@@ -438,30 +493,38 @@ def _warp_transpose_pallas(g, px, py, pz, window, nearest):
         py = jnp.pad(py, ppads, constant_values=0.5)
         pz = jnp.pad(pz, ppads, constant_values=0.5)
 
-    noff = 2 * W + 1
-    zpad = (W, noff - W)
-    gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), zpad, (0, 0), (0, 0)))
-    gp = gp.reshape(b * G, F, Z + zpad[0] + zpad[1], Yp, Xp)
+    S = min(DEFAULT_SLICES_PER_PROGRAM, Z) if Z > 1 else 1
+    Zs = _round_up(Z, S)
+    zclamped = Z > 1 and Zs == Z and Z >= S + 2 * W and S >= W
     pos = jnp.stack([px, py, pz], axis=2)           # (b, G, 3, Z, Yp, Xp)
-    pos = jnp.pad(pos, ((0, 0), (0, 0), (0, 0), zpad, (0, 0), (0, 0)),
-                  constant_values=0.5)
-    pos = pos.reshape(b * G, 3, Z + zpad[0] + zpad[1], Yp, Xp)
+    if zclamped:
+        gp = g.reshape(b * G, F, Z, Yp, Xp)
+        pos = pos.reshape(b * G, 3, Z, Yp, Xp)
+    else:
+        zpad = (W, Zs - Z + W)
+        gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), zpad, (0, 0), (0, 0)))
+        gp = gp.reshape(b * G, F, Zs + 2 * W, Yp, Xp)
+        pos = jnp.pad(pos, ((0, 0), (0, 0), (0, 0), zpad, (0, 0),
+                            (0, 0)), constant_values=0.5)
+        pos = pos.reshape(b * G, 3, Zs + 2 * W, Yp, Xp)
 
     out = pl.pallas_call(
-        functools.partial(_warp_transpose_kernel, W=W, Z=Z, Y=Yp, X=Xp,
-                          Yt=Y, Xt=X, F=F, nearest=nearest),
-        grid=(b * G, Z),
+        functools.partial(_warp_transpose_kernel, W=W, S=S, Z=Z, Y=Yp,
+                          X=Xp, Yt=Y, Xt=X, F=F, nearest=nearest,
+                          zclamped=zclamped),
+        grid=(b * G, Zs // S),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, F, 1, Yp, Xp),
+        out_specs=pl.BlockSpec((1, F, S, Yp, Xp),
                                lambda bg, k: (bg, 0, k, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * G, F, Z, Yp, Xp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * G, F, Zs, Yp, Xp),
+                                       jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, noff, Yp, Xp), jnp.float32),
-            pltpu.VMEM((F, noff, Yp, Xp), jnp.float32),
+            pltpu.VMEM((3, S + 2 * W, Yp, Xp), jnp.float32),
+            pltpu.VMEM((F, S + 2 * W, Yp, Xp), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -469,7 +532,7 @@ def _warp_transpose_pallas(g, px, py, pz, window, nearest):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(pos, gp)
-    return out.reshape(b, G, F, Z, Yp, Xp)[..., :Y, :X]
+    return out.reshape(b, G, F, Zs, Yp, Xp)[..., :Z, :Y, :X]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))

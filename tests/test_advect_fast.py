@@ -281,3 +281,25 @@ def test_combined_sweep_matches_separate(method, sof):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_cmb), np.asarray(s_sep),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("window", [1, 2])
+def test_warp_transpose_pallas_zclamped(window):
+    """Padless (clamped-DMA) transpose path: Z a multiple of the slice
+    block and large enough that no z-padding is used."""
+    from fluidnet_tpu.ops.pallas import warp as W
+
+    rng = np.random.default_rng(23 + window)
+    b, G, F, Z, Y, X = 1, 2, 2, 16, 8, 16
+    g = jnp.asarray(rng.standard_normal((b, G, F, Z, Y, X)), jnp.float32)
+    base = np.stack(np.meshgrid(np.arange(Z), np.arange(Y), np.arange(X),
+                                indexing="ij"), 0) + 0.5
+    disp = rng.uniform(-window + 1e-3, window - 1e-3, (3, b, G, Z, Y, X))
+    pz = jnp.asarray(base[0] + disp[0], jnp.float32)
+    py = jnp.asarray(base[1] + disp[1], jnp.float32)
+    px = jnp.asarray(base[2] + disp[2], jnp.float32)
+    want = W._warp_transpose_xla(g, px, py, pz, window, False, F,
+                                 (Z, Y, X))
+    got = W._warp_transpose_pallas(g, px, py, pz, window, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
