@@ -118,14 +118,16 @@ class FluidDataset:
             return
         for i, key in enumerate(missing):
             ti, di = 2 * i, 2 * i + 1
+            # np.copy: caching slice VIEWS would pin the whole batch-read
+            # buffer per sample (~16x the bytes) for the cache's lifetime.
             self.cache[key] = {
-                "p_div": out["p"][di:di + 1],
-                "u_div": out["u_div_or_target"][di:di + 1],
-                "density": out["density"][di:di + 1],
-                "flags": out["flags"][ti:ti + 1],
-                "p_target": out["p"][ti:ti + 1],
-                "u_target": out["u_div_or_target"][ti:ti + 1],
-                "density_target": out["density"][ti:ti + 1],
+                "p_div": np.copy(out["p"][di:di + 1]),
+                "u_div": np.copy(out["u_div_or_target"][di:di + 1]),
+                "density": np.copy(out["density"][di:di + 1]),
+                "flags": np.copy(out["flags"][ti:ti + 1]),
+                "p_target": np.copy(out["p"][ti:ti + 1]),
+                "u_target": np.copy(out["u_div_or_target"][ti:ti + 1]),
+                "density_target": np.copy(out["density"][ti:ti + 1]),
                 "is_3d": self.is_3d,
             }
 

@@ -104,7 +104,20 @@ def _curl(cent, is_3d):
 
 
 def vorticity_confinement(u, flags, strength):
-    """Adds the vorticity-confinement force, 4 passes like the reference:
+    """Adds the vorticity-confinement force (tfluids.cc:1312-1458).
+
+    3-D runs the fused Pallas kernel (one VMEM-resident pass instead of
+    the 4-stage XLA stencil chain); 2-D and the kernel's own VJP use the
+    XLA formulation below."""
+    if check_shapes(u, flags):
+        from fluidnet_tpu.ops.pallas.forces_kernel import \
+            vorticity_confinement_pallas
+        return vorticity_confinement_pallas(u, flags, strength)
+    return vorticity_confinement_xla(u, flags, strength)
+
+
+def vorticity_confinement_xla(u, flags, strength):
+    """XLA reference formulation, 4 passes like the reference:
 
     centered vel -> curl + |curl| -> force = strength * (grad_hat|w| x w)
     -> face-wise AddForceField apply (tfluids.cc:1312-1458).

@@ -1,0 +1,232 @@
+"""Fused vorticity-confinement Pallas kernel (3-D).
+
+The XLA formulation (ops.forces.vorticity_confinement) is a 4-stage
+stencil chain — centered velocity, curl + |curl|, normalized gradient of
+|curl|, cross-product force, face-wise apply — each stage a full-grid HBM
+round trip. This kernel keeps the whole chain in VMEM: one program per
+(batch, z-block) DMAs a (S + 6)-slice velocity/flags window and emits the
+force-applied velocity for its S slices, mirroring
+Main_vorticityConfinement (third_party/tfluids.cc:1312-1458) stage by
+stage (same border zeroing, vec3-epsilon norm guards, and fluid/empty
+face gating as the XLA port, which the golden/oracle suites pin).
+
+Differentiation: the op is used inside training rollouts; the kernel gets
+a custom VJP that replays the XLA formulation under jax.vjp (the chain is
+deep enough that a hand adjoint isn't worth it; the XLA backward runs
+only under 'full'-mode training).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fluidnet_tpu.ops.pallas.warp import (_interpret, _round_up,
+                                          DEFAULT_SLICES_PER_PROGRAM)
+
+_VEC3_EPS = 1e-6
+_HALO = 3          # out <- force(+-1) <- grad|w|(+-1) <- curl(cent(+-1))
+
+
+def _vc_kernel(amp_ref, u_hbm, fl_hbm, out_ref, uscr, fscr, usem, fsem,
+               *, S, Z, Y, X, Yt, Xt):
+    b = pl.program_id(0)
+    ks = pl.program_id(1)
+    n = S + 2 * _HALO
+
+    start = jnp.clip(ks * S - _HALO, 0, jnp.maximum(Z - n, 0))
+    shift = ks * S - _HALO - start
+    udma = pltpu.make_async_copy(u_hbm.at[b, :, pl.ds(start, n)], uscr,
+                                 usem)
+    fdma = pltpu.make_async_copy(fl_hbm.at[b, :, pl.ds(start, n)], fscr,
+                                 fsem)
+    udma.start()
+    fdma.start()
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+    inplane_int = ((ii > 0) & (ii < Xt - 1) & (jj > 0) & (jj < Yt - 1))
+    amp = amp_ref[0]
+
+    def rd(scr, f, j):
+        return scr[f, jnp.clip(j + shift, 0, n - 1)]
+
+    udma.wait()
+    fdma.wait()
+
+    def xm(a):
+        return jnp.where(ii == 0, 0.0, pltpu.roll(a, 1, 1))
+
+    def xp(a):
+        return jnp.where(ii == Xt - 1, 0.0, pltpu.roll(a, (-1) % X, 1))
+
+    def ym(a):
+        return jnp.where(jj == 0, 0.0, pltpu.roll(a, 1, 0))
+
+    def yp(a):
+        return jnp.where(jj == Yt - 1, 0.0, pltpu.roll(a, (-1) % Y, 0))
+
+    # Stage 1: centered velocity, zero on the 1-cell border
+    # (forces.get_centered). cent(j) needs u(j), u(j+1).
+    def cent(j):
+        c_abs = ks * S - _HALO + j
+        interior = jnp.logical_and(c_abs >= 1, c_abs <= Z - 2)
+        u0 = rd(uscr, 0, j)
+        u1 = rd(uscr, 1, j)
+        u2 = rd(uscr, 2, j)
+        u2p = rd(uscr, 2, j + 1)
+        m = jnp.where(interior, 1.0, 0.0) * inplane_int.astype(
+            jnp.float32)
+        return (0.5 * (u0 + xp(u0)) * m, 0.5 * (u1 + yp(u1)) * m,
+                0.5 * (u2 + u2p) * m)
+
+    cents = [cent(j) for j in range(n - 1)]
+
+    # Stage 2: central-difference curl of cent + |curl|, interior only
+    # (forces._curl + the interior masks in vorticity_confinement).
+    def curl(j):
+        c_abs = ks * S - _HALO + j
+        interior = jnp.logical_and(c_abs >= 1, c_abs <= Z - 2)
+        cxm1 = cents[j - 1]
+        cxp1 = cents[j + 1]
+        cx, cy, cz = cents[j]
+        wx = 0.5 * ((yp(cz) - ym(cz)) - (cxp1[1] - cxm1[1]))
+        wy = 0.5 * ((cxp1[0] - cxm1[0]) - (xp(cz) - xm(cz)))
+        wz = 0.5 * ((xp(cy) - xm(cy)) - (yp(cx) - ym(cx)))
+        m = jnp.where(interior, 1.0, 0.0) * inplane_int.astype(
+            jnp.float32)
+        wx, wy, wz = wx * m, wy * m, wz * m
+        nsq = wx * wx + wy * wy + wz * wz
+        nz = nsq > _VEC3_EPS
+        wnorm = jnp.where(nz, jnp.sqrt(jnp.where(nz, nsq, 1.0)), 0.0) * m
+        return wx, wy, wz, wnorm
+
+    curls = [None] + [curl(j) for j in range(1, n - 2)]
+
+    # Stage 3+4: normalized grad|w| x w force, interior only.
+    def force(j):
+        c_abs = ks * S - _HALO + j
+        interior = jnp.logical_and(c_abs >= 1, c_abs <= Z - 2)
+        nm1 = curls[j - 1][3]
+        np1 = curls[j + 1][3]
+        wx, wy, wz, wn = curls[j]
+        gx = 0.5 * (xp(wn) - xm(wn))
+        gy = 0.5 * (yp(wn) - ym(wn))
+        gz = 0.5 * (np1 - nm1)
+        gsq = gx * gx + gy * gy + gz * gz
+        ok = gsq > _VEC3_EPS
+        gn = jnp.where(ok, jnp.sqrt(jnp.where(ok, gsq, 1.0)), 0.0)
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, gn, 1.0), 0.0)
+        gx, gy, gz = gx * inv, gy * inv, gz * inv
+        m = jnp.where(interior, amp, 0.0) * inplane_int.astype(
+            jnp.float32)
+        return ((gy * wz - gz * wy) * m, (gz * wx - gx * wz) * m,
+                (gx * wy - gy * wx) * m)
+
+    forces = {j: force(j) for j in range(2, n - 3)}
+
+    # Stage 5: face-wise AddForceField apply (forces._add_force_field):
+    # cur = (fluid|empty) & interior; face m = cur & (fl_m | (fl & em_m)).
+    for s in range(S):
+        j = s + _HALO
+        c_abs = ks * S + s
+        fli = rd(fscr, 0, j).astype(jnp.int32)
+        fl = (fli & 1) > 0
+        em = (fli & 4) > 0
+        interior = jnp.logical_and(c_abs >= 1, c_abs <= Z - 2)
+        cur = (fl | em) & inplane_int & interior
+        fx, fy, fz = forces[j]
+        fxm1, fym1, fzm1 = forces[j - 1]
+
+        flm_x = jnp.where(ii == 0, False, pltpu.roll(fl, 1, 1))
+        emm_x = jnp.where(ii == 0, False, pltpu.roll(em, 1, 1))
+        flm_y = jnp.where(jj == 0, False, pltpu.roll(fl, 1, 0))
+        emm_y = jnp.where(jj == 0, False, pltpu.roll(em, 1, 0))
+        flim1 = rd(fscr, 0, j - 1).astype(jnp.int32)
+        zok = c_abs > 0
+        flm_z = jnp.logical_and(zok, (flim1 & 1) > 0)
+        emm_z = jnp.logical_and(zok, (flim1 & 4) > 0)
+
+        mx = cur & (flm_x | (fl & emm_x))
+        my = cur & (flm_y | (fl & emm_y))
+        mz = cur & (flm_z | (fl & emm_z))
+        u0 = rd(uscr, 0, j)
+        u1 = rd(uscr, 1, j)
+        u2 = rd(uscr, 2, j)
+        out_ref[0, 0, s] = jnp.where(
+            mx, u0 + 0.5 * (jnp.where(ii == 0, 0.0,
+                                      pltpu.roll(fx, 1, 1)) + fx), u0)
+        out_ref[0, 1, s] = jnp.where(
+            my, u1 + 0.5 * (jnp.where(jj == 0, 0.0,
+                                      pltpu.roll(fy, 1, 0)) + fy), u1)
+        out_ref[0, 2, s] = jnp.where(mz, u2 + 0.5 * (fzm1 + fz), u2)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _vc_pallas_impl(u, flags, amp):
+    b, _, Z, Y, X = u.shape
+    Xp, Yp = _round_up(X, 128), _round_up(Y, 8)
+    if (Xp, Yp) != (X, Y):
+        pads = ((0, 0),) * 3 + ((0, Yp - Y), (0, Xp - X))
+        u = jnp.pad(u, pads)
+        flags = jnp.pad(flags, pads, constant_values=2)  # obstacle
+    S = min(DEFAULT_SLICES_PER_PROGRAM, Z)
+    Zs = _round_up(Z, S)
+    n = S + 2 * _HALO
+    # Sources must cover one full DMA window; the interior masks (keyed
+    # on the true Z) zero every contribution from pad slices.
+    Zsrc = max(Zs, n)
+    if Zsrc != Z:
+        u = jnp.pad(u, ((0, 0), (0, 0), (0, Zsrc - Z), (0, 0), (0, 0)))
+        flags = jnp.pad(flags, ((0, 0), (0, 0), (0, Zsrc - Z), (0, 0),
+                                (0, 0)), constant_values=2)
+    amp_arr = jnp.asarray(amp, jnp.float32).reshape(1)
+
+    out = pl.pallas_call(
+        functools.partial(_vc_kernel, S=S, Z=Z, Y=Yp, X=Xp, Yt=Y, Xt=X),
+        grid=(b, Zs // S),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 3, S, Yp, Xp),
+                               lambda bb, k: (bb, 0, k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, Zs, Yp, Xp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, n, Yp, Xp), jnp.float32),
+            pltpu.VMEM((1, n, Yp, Xp), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(amp_arr, u, flags.astype(jnp.int32))
+    return out[..., :Z, :Y, :X]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def vorticity_confinement_pallas(u, flags, amp):
+    """Fused 3-D vorticity confinement; matches
+    ops.forces.vorticity_confinement exactly (tested)."""
+    return _vc_pallas_impl(u, flags, amp)
+
+
+def _vc_fwd(u, flags, amp):
+    return _vc_pallas_impl(u, flags, amp), (u, flags, amp)
+
+
+def _vc_bwd(res, g):
+    u, flags, amp = res
+    from fluidnet_tpu.ops.forces import vorticity_confinement_xla
+    _, vjp = jax.vjp(lambda uu, aa: vorticity_confinement_xla(
+        uu, flags, aa), u, amp)
+    gu, gamp = vjp(g)
+    return gu, None, gamp
+
+
+vorticity_confinement_pallas.defvjp(_vc_fwd, _vc_bwd)

@@ -303,3 +303,26 @@ def test_warp_transpose_pallas_zclamped(window):
     got = W._warp_transpose_pallas(g, px, py, pz, window, False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("p_obstacle", [0.0, 0.15])
+def test_vorticity_confinement_pallas_matches_xla(p_obstacle):
+    """Fused vorticity-confinement kernel == the 4-stage XLA chain."""
+    from fluidnet_tpu.ops.forces import (vorticity_confinement,
+                                         vorticity_confinement_xla)
+
+    rng = np.random.default_rng(31)
+    flags, u, _ = small_case(rng, True, vel_scale=1.0,
+                             p_obstacle=p_obstacle)
+    want = vorticity_confinement_xla(u, flags, 0.7)
+    got = vorticity_confinement(u, flags, 0.7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    # Gradient path (full-rollout training) stays finite and matches.
+    g1 = jax.grad(lambda uu: jnp.sum(
+        vorticity_confinement(uu, flags, 0.7) ** 2))(u)
+    g2 = jax.grad(lambda uu: jnp.sum(
+        vorticity_confinement_xla(uu, flags, 0.7) ** 2))(u)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
