@@ -140,10 +140,14 @@ def _vc_kernel(amp_ref, u_hbm, fl_hbm, out_ref, uscr, fscr, usem, fsem,
         fx, fy, fz = forces[j]
         fxm1, fym1, fzm1 = forces[j - 1]
 
-        flm_x = jnp.where(ii == 0, False, pltpu.roll(fl, 1, 1))
-        emm_x = jnp.where(ii == 0, False, pltpu.roll(em, 1, 1))
-        flm_y = jnp.where(jj == 0, False, pltpu.roll(fl, 1, 0))
-        emm_y = jnp.where(jj == 0, False, pltpu.roll(em, 1, 0))
+        # Mosaic can't rotate i1 vectors: roll the int flag plane instead
+        # and re-derive the bit tests.
+        fli_xm = jnp.where(ii == 0, 0, pltpu.roll(fli, 1, 1))
+        fli_ym = jnp.where(jj == 0, 0, pltpu.roll(fli, 1, 0))
+        flm_x = (fli_xm & 1) > 0
+        emm_x = (fli_xm & 4) > 0
+        flm_y = (fli_ym & 1) > 0
+        emm_y = (fli_ym & 4) > 0
         flim1 = rd(fscr, 0, j - 1).astype(jnp.int32)
         zok = c_abs > 0
         flm_z = jnp.logical_and(zok, (flim1 & 1) > 0)
