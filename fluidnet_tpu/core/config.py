@@ -111,6 +111,12 @@ class ModelConfig:
     train_vorticity_confinement_prob: float = 0.0
     train_vorticity_confinement_amp: float = 2.0
     train_target_source: str = "manta"     # manta|jacobi|pcg
+    # Apply dataAugmentation to UDiv even with manta targets. Only valid
+    # when the p/u target losses are off (the div + long-term-div losses
+    # don't read the stale targets), where it manufactures input
+    # diversity for free — the augmented forces change the divergence the
+    # net must remove, not the supervision.
+    augment_without_targets: bool = False
 
     grad_norm_threshold: float = 1.0
     # sgd | adam | adagrad | rmsprop (default_conf.lua:99-107; the

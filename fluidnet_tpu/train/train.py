@@ -202,6 +202,14 @@ def loss_fn(params, batch, key, mconf: ModelConfig, n_future: int,
                                    mconf, gravity, b_scale, g_scale, v_amp)
         u_div, p_target, u_target = jax.lax.stop_gradient(
             _calc_pu_targets(u_aug, flags, mconf))
+    elif mconf.augment_without_targets:
+        # Input-side augmentation with the targets untouched: valid only
+        # while the p/u losses are off (div losses never read them).
+        assert mconf.loss_p_lambda == 0 and mconf.loss_u_lambda == 0, \
+            "augment_without_targets requires p/u losses off"
+        u_div = jax.lax.stop_gradient(_data_augmentation(
+            u_div, flags, batch.get("density"), mconf, gravity, b_scale,
+            g_scale, v_amp))
     if mconf.loss_p_lambda > 0:
         p_target = normalize_pressure_mean(p_target, flags)
 

@@ -211,3 +211,40 @@ def test_grad_safe_sqrt_guards():
         gz = jax.grad(lambda uu: jnp.sum(apply_model(
             st.params, mconf, uz[:, :1], uu, flags)[1] ** 2))(uz)
         assert bool(jnp.isfinite(gz).all()), func
+
+
+def test_augment_without_targets():
+    """Input augmentation under the div-only loss: UDiv changes, targets
+    don't, and the loss stays finite."""
+    import jax
+    import jax.numpy as jnp
+    from fluidnet_tpu.core.config import ModelConfig
+    from fluidnet_tpu.core.grids import empty_domain
+    from fluidnet_tpu.train.train import init_train_state, loss_fn
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    B, Z, Y, X = 2, 1, 16, 16
+    mconf = ModelConfig(is_3d=False, augment_without_targets=True,
+                        train_buoyancy_prob=1.0,
+                        train_vorticity_confinement_prob=1.0,
+                        long_term_div_num_steps=(1, 1),
+                        time_scale_sigma=0.0)
+    flags = empty_domain((B, 1, Z, Y, X), False)
+    batch = {
+        "p_div": jnp.zeros((B, 1, Z, Y, X), jnp.float32),
+        "u_div": jnp.asarray(rng.standard_normal((B, 2, Z, Y, X)),
+                             jnp.float32),
+        "flags": flags,
+        "p_target": jnp.zeros((B, 1, Z, Y, X), jnp.float32),
+        "u_target": jnp.zeros((B, 2, Z, Y, X), jnp.float32),
+        "density": jnp.asarray(rng.random((B, 1, Z, Y, X)), jnp.float32),
+    }
+    st = init_train_state(jax.random.PRNGKey(0), mconf)
+    loss, terms = loss_fn(st.params, batch, jax.random.PRNGKey(3), mconf,
+                          1)
+    assert np.isfinite(float(loss))
+    # The same batch without augmentation gives a different div loss.
+    mconf2 = mconf.replace(augment_without_targets=False)
+    loss2, _ = loss_fn(st.params, batch, jax.random.PRNGKey(3), mconf2, 1)
+    assert float(loss) != float(loss2)
