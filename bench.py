@@ -62,23 +62,32 @@ def main():
     # embeds them as XLA constants, which wrecks compile AND run time.
     # Donating the state lets XLA reuse its buffers for the output state
     # (the loop never reuses the old state), saving allocs + copies.
-    step = jax.jit(lambda s, prm, b: simulate(s, mconf, model_fn, prm, b),
-                   donate_argnums=0)
+    #
+    # The N_STEPS step loop runs as ONE on-device lax.scan (sim.rollout) —
+    # the production rollout path. Dispatching every step from the host
+    # costs ~1.3 ms/step on this host (a quarter of the device step time);
+    # the reference's own harness amortizes its launch overhead the same
+    # way (768 frames in one process, fluid_net_3d_sim.lua:261) and CUDA
+    # launches are asynchronous. steps/s here = full simulate() steps
+    # (advect+forces+CNN project) per second of wall time, fenced by a
+    # device->host materialization of the final state.
+    from fluidnet_tpu.sim.simulate import rollout
+    roll = jax.jit(lambda s, prm, b: rollout(
+        s, mconf, N_STEPS, model_fn, prm, b), donate_argnums=0)
 
     # Compile + warmup (materialize: see fence note below).
-    state = step(state, params, bcs)
-    _ = np.asarray(state.u[0, 0, 0, :4])
-    state = step(state, params, bcs)
+    state = roll(state, params, bcs)
     _ = np.asarray(state.u[0, 0, 0, :4])
 
     t0 = time.perf_counter()
-    for _ in range(N_STEPS):
-        state = step(state, params, bcs)
+    REPS = 4
+    for _ in range(REPS):
+        state = roll(state, params, bcs)
     # Force a real device->host round trip: on this backend
     # block_until_ready returns before execution finishes, so a tiny
     # materialization is the only trustworthy fence.
     _ = np.asarray(state.u[0, 0, 0, :4])
-    dt = (time.perf_counter() - t0) / N_STEPS
+    dt = (time.perf_counter() - t0) / (N_STEPS * REPS)
     assert bool(np.isfinite(np.asarray(state.u)).all()), "sim blew up"
 
     steps_per_sec = 1.0 / dt

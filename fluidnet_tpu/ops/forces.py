@@ -161,6 +161,33 @@ def vorticity_confinement_xla(u, flags, strength):
     return _add_force_field(u, flags, force, is_3d)
 
 
+def forces_block_xla(u, flags, density, buoy_g, grav_g, amp, dt):
+    """The simulate() forces block as one composition: buoyancy ->
+    gravity -> vorticity confinement (simulate.lua:216-239 ordering).
+
+    `buoy_g`/`grav_g` are the scaled gravity 3-vectors simulate passes to
+    add_buoyancy/add_gravity; `amp` the confinement strength (already
+    dx-scaled). Zero scalars are exact no-ops, so one formulation serves
+    every on/off combination without recompiling (the training loop's
+    traced force randomization, run_epoch.lua:133-158)."""
+    u = add_buoyancy(u, flags, density, buoy_g, dt)
+    u = add_gravity(u, flags, grav_g, dt)
+    u = vorticity_confinement_xla(u, flags, amp)
+    return u
+
+
+def forces_block(u, flags, density, buoy_g, grav_g, amp, dt):
+    """Fused forces block: the 3-D path runs one Pallas kernel (buoyancy +
+    gravity + the 4-stage confinement chain in a single VMEM-resident
+    pass); 2-D and the VJP use the XLA composition."""
+    if check_shapes(u, flags, density):
+        from fluidnet_tpu.ops.pallas.forces_kernel import \
+            forces_block_pallas
+        return forces_block_pallas(u, flags, density, buoy_g, grav_g,
+                                   amp, dt)
+    return forces_block_xla(u, flags, density, buoy_g, grav_g, amp, dt)
+
+
 def _add_force_field(u, flags, force, is_3d):
     """AddForceField (tfluids.cc:1312-1339): face-averaged force apply with
     the same fluid/empty gating as add_gravity, interior only."""

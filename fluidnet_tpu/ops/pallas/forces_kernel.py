@@ -213,6 +213,269 @@ def _vc_pallas_impl(u, flags, amp):
     return out[..., :Z, :Y, :X]
 
 
+_FB_HALO = 4       # vc's 3 + one more slice below for buoyancy's rho(k-1)
+
+
+def _fb_kernel(sc_ref, u_hbm, fl_hbm, rho_hbm, out_ref, uscr, fscr, rscr,
+               usem, fsem, rsem, *, S, Z, Y, X, Yt, Xt):
+    """Fused forces block: u' = buoyancy+gravity(u), then the
+    vorticity-confinement chain of _vc_kernel on u'.
+
+    sc_ref (SMEM, 7): [bx, by, bz, gx, gy, gz, amp] where b* is
+    add_buoyancy's per-face strength (-buoy_g * dt / dx), g* is
+    add_gravity's force (grav_g * dt / dx)."""
+    b = pl.program_id(0)
+    ks = pl.program_id(1)
+    n = S + 2 * _FB_HALO
+
+    start = jnp.clip(ks * S - _FB_HALO, 0, jnp.maximum(Z - n, 0))
+    shift = ks * S - _FB_HALO - start
+    dmas = [pltpu.make_async_copy(h.at[b, :, pl.ds(start, n)], s, sem)
+            for h, s, sem in ((u_hbm, uscr, usem), (fl_hbm, fscr, fsem),
+                              (rho_hbm, rscr, rsem))]
+    for dma in dmas:
+        dma.start()
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+    inplane_int = ((ii > 0) & (ii < Xt - 1) & (jj > 0) & (jj < Yt - 1))
+    sx, sy, sz = sc_ref[0], sc_ref[1], sc_ref[2]
+    gfx, gfy, gfz = sc_ref[3], sc_ref[4], sc_ref[5]
+    amp = sc_ref[6]
+
+    def rd(scr, f, j):
+        return scr[f, jnp.clip(j + shift, 0, n - 1)]
+
+    for dma in dmas:
+        dma.wait()
+
+    def xm(a):
+        return jnp.where(ii == 0, 0.0, pltpu.roll(a, 1, 1))
+
+    def xp(a):
+        return jnp.where(ii == Xt - 1, 0.0, pltpu.roll(a, (-1) % X, 1))
+
+    def ym(a):
+        return jnp.where(jj == 0, 0.0, pltpu.roll(a, 1, 0))
+
+    def yp(a):
+        return jnp.where(jj == Yt - 1, 0.0, pltpu.roll(a, (-1) % Y, 0))
+
+    def ixm(a):
+        return jnp.where(ii == 0, 0, pltpu.roll(a, 1, 1))
+
+    def iym(a):
+        return jnp.where(jj == 0, 0, pltpu.roll(a, 1, 0))
+
+    # Stage 0: u' = buoyancy + gravity applied to every slice the vc
+    # chain reads (logical 1..n-1; slice 0 would need rho(-1)).
+    def uprime(j):
+        c_abs = ks * S - _FB_HALO + j
+        interior = jnp.logical_and(c_abs >= 1, c_abs <= Z - 2)
+        cur_in = inplane_int & interior
+        u0 = rd(uscr, 0, j)
+        u1 = rd(uscr, 1, j)
+        u2 = rd(uscr, 2, j)
+        fli = rd(fscr, 0, j).astype(jnp.int32)
+        fl = (fli & 1) > 0
+        em = (fli & 4) > 0
+        rho = rd(rscr, 0, j)
+        fli_xm = ixm(fli)
+        fli_ym = iym(fli)
+        flim1 = rd(fscr, 0, j - 1).astype(jnp.int32)
+        zok = c_abs > 0
+        fl_xm = (fli_xm & 1) > 0
+        fl_ym = (fli_ym & 1) > 0
+        fl_zm = jnp.logical_and(zok, (flim1 & 1) > 0)
+        em_xm = (fli_xm & 4) > 0
+        em_ym = (fli_ym & 4) > 0
+        em_zm = jnp.logical_and(zok, (flim1 & 4) > 0)
+        rho_zm = jnp.where(zok, rd(rscr, 0, j - 1), 0.0)
+
+        # add_buoyancy (tfluids.cc:1190-1227): fluid-fluid faces.
+        bmask = fl & cur_in
+        u0 = jnp.where(bmask & fl_xm, u0 + 0.5 * sx * (rho + xm(rho)), u0)
+        u1 = jnp.where(bmask & fl_ym, u1 + 0.5 * sy * (rho + ym(rho)), u1)
+        u2 = jnp.where(bmask & fl_zm, u2 + 0.5 * sz * (rho + rho_zm), u2)
+
+        # add_gravity (tfluids.cc:1280-1300): fluid/empty faces.
+        cur = (fl | em) & cur_in
+        u0 = jnp.where(cur & (fl_xm | (fl & em_xm)), u0 + gfx, u0)
+        u1 = jnp.where(cur & (fl_ym | (fl & em_ym)), u1 + gfy, u1)
+        u2 = jnp.where(cur & (fl_zm | (fl & em_zm)), u2 + gfz, u2)
+        return u0, u1, u2
+
+    ups = [None] + [uprime(j) for j in range(1, n)]
+
+    # Stages 1-4: the _vc_kernel chain on u' (same offsets, shifted +1
+    # because the outer halo is 4).
+    def cent(j):
+        c_abs = ks * S - _FB_HALO + j
+        interior = jnp.logical_and(c_abs >= 1, c_abs <= Z - 2)
+        u0, u1, u2 = ups[j]
+        u2p = ups[j + 1][2]
+        m = jnp.where(interior, 1.0, 0.0) * inplane_int.astype(
+            jnp.float32)
+        return (0.5 * (u0 + xp(u0)) * m, 0.5 * (u1 + yp(u1)) * m,
+                0.5 * (u2 + u2p) * m)
+
+    cents = [None] + [cent(j) for j in range(1, n - 1)]
+
+    def curl(j):
+        c_abs = ks * S - _FB_HALO + j
+        interior = jnp.logical_and(c_abs >= 1, c_abs <= Z - 2)
+        cxm1 = cents[j - 1]
+        cxp1 = cents[j + 1]
+        cx, cy, cz = cents[j]
+        wx = 0.5 * ((yp(cz) - ym(cz)) - (cxp1[1] - cxm1[1]))
+        wy = 0.5 * ((cxp1[0] - cxm1[0]) - (xp(cz) - xm(cz)))
+        wz = 0.5 * ((xp(cy) - xm(cy)) - (yp(cx) - ym(cx)))
+        m = jnp.where(interior, 1.0, 0.0) * inplane_int.astype(
+            jnp.float32)
+        wx, wy, wz = wx * m, wy * m, wz * m
+        nsq = wx * wx + wy * wy + wz * wz
+        nz = nsq > _VEC3_EPS
+        wnorm = jnp.where(nz, jnp.sqrt(jnp.where(nz, nsq, 1.0)), 0.0) * m
+        return wx, wy, wz, wnorm
+
+    curls = [None, None] + [curl(j) for j in range(2, n - 2)]
+
+    def force(j):
+        c_abs = ks * S - _FB_HALO + j
+        interior = jnp.logical_and(c_abs >= 1, c_abs <= Z - 2)
+        nm1 = curls[j - 1][3]
+        np1 = curls[j + 1][3]
+        wx, wy, wz, wn = curls[j]
+        gx = 0.5 * (xp(wn) - xm(wn))
+        gy = 0.5 * (yp(wn) - ym(wn))
+        gz = 0.5 * (np1 - nm1)
+        gsq = gx * gx + gy * gy + gz * gz
+        ok = gsq > _VEC3_EPS
+        gn = jnp.where(ok, jnp.sqrt(jnp.where(ok, gsq, 1.0)), 0.0)
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, gn, 1.0), 0.0)
+        gx, gy, gz = gx * inv, gy * inv, gz * inv
+        m = jnp.where(interior, amp, 0.0) * inplane_int.astype(
+            jnp.float32)
+        return ((gy * wz - gz * wy) * m, (gz * wx - gx * wz) * m,
+                (gx * wy - gy * wx) * m)
+
+    forces = {j: force(j) for j in range(3, n - 3)}
+
+    for s in range(S):
+        j = s + _FB_HALO
+        c_abs = ks * S + s
+        fli = rd(fscr, 0, j).astype(jnp.int32)
+        fl = (fli & 1) > 0
+        em = (fli & 4) > 0
+        interior = jnp.logical_and(c_abs >= 1, c_abs <= Z - 2)
+        cur = (fl | em) & inplane_int & interior
+        fx, fy, fz = forces[j]
+        fxm1, fym1, fzm1 = forces[j - 1]
+
+        fli_xm = ixm(fli)
+        fli_ym = iym(fli)
+        flm_x = (fli_xm & 1) > 0
+        emm_x = (fli_xm & 4) > 0
+        flm_y = (fli_ym & 1) > 0
+        emm_y = (fli_ym & 4) > 0
+        flim1 = rd(fscr, 0, j - 1).astype(jnp.int32)
+        zok = c_abs > 0
+        flm_z = jnp.logical_and(zok, (flim1 & 1) > 0)
+        emm_z = jnp.logical_and(zok, (flim1 & 4) > 0)
+
+        mx = cur & (flm_x | (fl & emm_x))
+        my = cur & (flm_y | (fl & emm_y))
+        mz = cur & (flm_z | (fl & emm_z))
+        u0, u1, u2 = ups[j]
+        out_ref[0, 0, s] = jnp.where(mx, u0 + 0.5 * (xm(fx) + fx), u0)
+        out_ref[0, 1, s] = jnp.where(my, u1 + 0.5 * (ym(fy) + fy), u1)
+        out_ref[0, 2, s] = jnp.where(mz, u2 + 0.5 * (fzm1 + fz), u2)
+
+
+@jax.jit
+def _fb_pallas_impl(u, flags, density, scal7):
+    b, _, Z, Y, X = u.shape
+    Xp, Yp = _round_up(X, 128), _round_up(Y, 8)
+    if (Xp, Yp) != (X, Y):
+        pads = ((0, 0),) * 3 + ((0, Yp - Y), (0, Xp - X))
+        u = jnp.pad(u, pads)
+        density = jnp.pad(density, pads)
+        flags = jnp.pad(flags, pads, constant_values=2)
+    S = min(DEFAULT_SLICES_PER_PROGRAM, Z)
+    Zs = _round_up(Z, S)
+    n = S + 2 * _FB_HALO
+    Zsrc = max(Zs, n)
+    if Zsrc != Z:
+        zpad = ((0, 0), (0, 0), (0, Zsrc - Z), (0, 0), (0, 0))
+        u = jnp.pad(u, zpad)
+        density = jnp.pad(density, zpad)
+        flags = jnp.pad(flags, zpad, constant_values=2)
+
+    out = pl.pallas_call(
+        functools.partial(_fb_kernel, S=S, Z=Z, Y=Yp, X=Xp, Yt=Y, Xt=X),
+        grid=(b, Zs // S),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 3, S, Yp, Xp),
+                               lambda bb, k: (bb, 0, k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, Zs, Yp, Xp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, n, Yp, Xp), jnp.float32),
+            pltpu.VMEM((1, n, Yp, Xp), jnp.int32),
+            pltpu.VMEM((1, n, Yp, Xp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(scal7, u, flags.astype(jnp.int32), density)
+    return out[..., :Z, :Y, :X]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def forces_block_pallas(u, flags, density, buoy_g, grav_g, amp, dt):
+    """Fused 3-D forces block; matches ops.forces.forces_block_xla
+    exactly (tested)."""
+    return _fb_run(u, flags, density, buoy_g, grav_g, amp, dt)
+
+
+def _fb_run(u, flags, density, buoy_g, grav_g, amp, dt):
+    from fluidnet_tpu.core.grids import get_dx
+    dx = get_dx(flags)
+    buoy_g = jnp.broadcast_to(jnp.asarray(buoy_g, jnp.float32), (3,))
+    grav_g = jnp.broadcast_to(jnp.asarray(grav_g, jnp.float32), (3,))
+    scal7 = jnp.concatenate([
+        -buoy_g * (dt / dx), grav_g * (dt / dx),
+        jnp.asarray(amp, jnp.float32).reshape(1)])
+    return _fb_pallas_impl(u, flags, density[:, 0:1], scal7)
+
+
+def _fb_fwd(u, flags, density, buoy_g, grav_g, amp, dt):
+    out = _fb_run(u, flags, density, buoy_g, grav_g, amp, dt)
+    return out, (u, flags, density, buoy_g, grav_g, amp, dt)
+
+
+def _fb_bwd(res, g):
+    u, flags, density, buoy_g, grav_g, amp, dt = res
+    from fluidnet_tpu.ops.forces import forces_block_xla
+    _, vjp = jax.vjp(
+        lambda uu, rr, bb, gg, aa: forces_block_xla(
+            uu, flags, rr, bb, gg, aa, dt), u, density, buoy_g, grav_g,
+        jnp.asarray(amp, jnp.float32))
+    gu, grho, gb, gg_, ga = vjp(g)
+    return gu, None, grho, gb, gg_, ga, None
+
+
+forces_block_pallas.defvjp(_fb_fwd, _fb_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def vorticity_confinement_pallas(u, flags, amp):
     """Fused 3-D vorticity confinement; matches

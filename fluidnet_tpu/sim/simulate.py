@@ -20,7 +20,7 @@ from fluidnet_tpu.ops.advect import advect_scalar, advect_vel
 from fluidnet_tpu.ops.boundary import set_wall_bcs
 from fluidnet_tpu.ops.divergence import velocity_divergence
 from fluidnet_tpu.ops.forces import (add_buoyancy, add_gravity,
-                                     vorticity_confinement)
+                                     forces_block, vorticity_confinement)
 from fluidnet_tpu.ops.velocity_update import velocity_update
 from fluidnet_tpu.solvers.cg import solve_pcg
 from fluidnet_tpu.solvers.jacobi import solve_jacobi
@@ -34,6 +34,12 @@ class Boundaries:
     """Frozen boundary-condition masks (simulate.lua:125-160 setConstVals).
 
     value' = value * inv_mask + bc. All fields optional.
+
+    A bc/mask pair whose y-extent is smaller than the field's applies to
+    the leading y-rows only (an in-place dynamic-update-slice instead of a
+    full-field multiply-add): the plume inflow touches 4 rows of the
+    domain, so full-size masks would spend 3 full-field HBM passes per
+    step on a 4-row update.
     """
     u_bc: Optional[jax.Array] = None
     u_bc_inv_mask: Optional[jax.Array] = None
@@ -43,16 +49,25 @@ class Boundaries:
     density_bc_inv_mask: Optional[jax.Array] = None
 
 
+def _apply_bc(field, bc, inv):
+    yb = bc.shape[3]
+    if yb == field.shape[3]:
+        return field * inv + bc
+    slab = field[:, :, :, :yb] * inv + bc
+    return jax.lax.dynamic_update_slice_in_dim(field, slab, 0, axis=3)
+
+
 def apply_boundaries(state: FluidState, bcs: Optional[Boundaries]):
     if bcs is None:
         return state
     u, p, density = state.u, state.p, state.density
     if bcs.u_bc is not None:
-        u = u * bcs.u_bc_inv_mask + bcs.u_bc
+        u = _apply_bc(u, bcs.u_bc, bcs.u_bc_inv_mask)
     if bcs.p_bc is not None:
-        p = p * bcs.p_bc_inv_mask + bcs.p_bc
+        p = _apply_bc(p, bcs.p_bc, bcs.p_bc_inv_mask)
     if bcs.density_bc is not None and density is not None:
-        density = density * bcs.density_bc_inv_mask + bcs.density_bc
+        density = _apply_bc(density, bcs.density_bc,
+                            bcs.density_bc_inv_mask)
     return state.replace(u=u, p=p, density=density)
 
 
@@ -145,28 +160,39 @@ def simulate(state: FluidState, mconf: ModelConfig,
         state.replace(u=u, p=p, density=density), bcs)
     u, p, density = state.u, state.p, state.density
 
-    # 4. Buoyancy (simulate.lua:216-226): scale -(dx/4)*buoyancyScale, first
-    #    density channel only.
+    # 4.-6. Forces (simulate.lua:216-239): buoyancy (-(dx/4)*
+    # buoyancyScale, first density channel), gravity, vorticity
+    # confinement. 3-D runs all three as ONE fused Pallas pass
+    # (forces_block); zero scalars are exact no-ops in the same graph.
     g_vec = gravity if gravity is not None else _get_gravity(mconf, u.dtype)
     b_scale = buoyancy_scale if buoyancy_scale is not None \
         else mconf.buoyancy_scale
-    if density is not None and (buoyancy_scale is not None or
-                                mconf.buoyancy_scale > 0):
-        g = g_vec * (-(dx / 4.0) * b_scale)
-        u = add_buoyancy(u, flags, density[:, 0:1], g, dt)
-
-    # 5. Gravity (simulate.lua:229-233).
     g_scale = gravity_scale if gravity_scale is not None \
         else mconf.gravity_scale
-    if gravity_scale is not None or mconf.gravity_scale > 0:
-        g = g_vec * (-(dx / 4.0) * g_scale)
-        u = add_gravity(u, flags, g, dt)
-
-    # 6. Vorticity confinement (simulate.lua:236-239).
     v_amp = vorticity_amp if vorticity_amp is not None \
         else mconf.vorticity_confinement_amp
-    if vorticity_amp is not None or mconf.vorticity_confinement_amp > 0:
-        u = vorticity_confinement(u, flags, dx * v_amp)
+    has_buoy = density is not None and (buoyancy_scale is not None or
+                                        mconf.buoyancy_scale > 0)
+    has_grav = gravity_scale is not None or mconf.gravity_scale > 0
+    has_vc = vorticity_amp is not None or \
+        mconf.vorticity_confinement_amp > 0
+    is_3d = flags.shape[2] > 1
+    if is_3d and density is not None and (has_buoy or has_grav or has_vc):
+        zero3 = jnp.zeros((3,), u.dtype)
+        buoy_g = g_vec * (-(dx / 4.0) * b_scale) if has_buoy else zero3
+        grav_g = g_vec * (-(dx / 4.0) * g_scale) if has_grav else zero3
+        amp = dx * v_amp if has_vc else jnp.zeros((), u.dtype)
+        u = forces_block(u, flags, density[:, 0:1], buoy_g, grav_g, amp,
+                         dt)
+    else:
+        if has_buoy:
+            g = g_vec * (-(dx / 4.0) * b_scale)
+            u = add_buoyancy(u, flags, density[:, 0:1], g, dt)
+        if has_grav:
+            g = g_vec * (-(dx / 4.0) * g_scale)
+            u = add_gravity(u, flags, g, dt)
+        if has_vc:
+            u = vorticity_confinement(u, flags, dx * v_amp)
 
     if output_div:
         # Return the divergent state for training (simulate.lua:241-245).
@@ -181,6 +207,14 @@ def simulate(state: FluidState, mconf: ModelConfig,
     if mconf.sim_method == "convnet":
         assert model_fn is not None, "convnet sim method needs a model"
         p, u = model_fn(params, p, u, flags)
+        if mconf.polish_iters > 0:
+            # Hybrid projection: N Jacobi correction sweeps on the
+            # ConvNet's residual divergence (see ModelConfig.polish_iters).
+            res_div = velocity_divergence(u, flags)
+            dp, _ = solve_jacobi(flags, res_div, p_tol=0.0,
+                                 max_iter=mconf.polish_iters)
+            u = velocity_update(u, flags, dp)
+            p = p + dp
     else:
         div = velocity_divergence(u, flags)
         if mconf.sim_method == "pcg":
@@ -195,6 +229,46 @@ def simulate(state: FluidState, mconf: ModelConfig,
     state = apply_boundaries(state.replace(u=u, p=p, density=density), bcs)
     u = jnp.clip(state.u, -U_CLAMP, U_CLAMP)
     return state.replace(u=u)
+
+
+def rollout(state: FluidState, mconf: ModelConfig, n_steps: int,
+            model_fn: Optional[Callable] = None, params=None,
+            bcs: Optional[Boundaries] = None,
+            save_every: int = 0, unroll: int = 1):
+    """Run `n_steps` simulate() steps as ONE on-device `lax.scan` loop.
+
+    This is the production rollout path (fluid_net_3d_sim.lua:261's frame
+    loop, minus the per-frame host round trip): dispatching each step from
+    the host costs ~1.3 ms on this backend — a quarter of the whole 128^3
+    step — so offline workloads (benchmarks, stats, data generation, vbox
+    export) scan on device and only materialize what they need.
+
+    Returns `state` after n_steps. If `save_every > 0`, also returns the
+    density field stacked every `save_every` steps, shape
+    (n_steps // save_every, b, c, z, y, x) — the .vbox export cadence
+    (fluid_net_3d_sim.lua:266-291).
+    """
+    def body(s, _):
+        s = simulate(s, mconf, model_fn, params, bcs)
+        if save_every:
+            return s, s.density
+        return s, None
+
+    if save_every and save_every > 1:
+        # Chunk: inner scan of save_every steps, outer scan stacks frames.
+        def chunk(s, _):
+            s, _ = jax.lax.scan(lambda c, x: (simulate(
+                c, mconf, model_fn, params, bcs), None), s, None,
+                length=save_every, unroll=unroll)
+            return s, s.density
+        n_chunks = n_steps // save_every
+        state, frames = jax.lax.scan(chunk, state, None, length=n_chunks)
+        return state, frames
+    state, frames = jax.lax.scan(body, state, None, length=n_steps,
+                                 unroll=unroll)
+    if save_every:
+        return state, frames
+    return state
 
 
 def create_plume_bcs(state: FluidState, density_val, u_scale: float,
@@ -218,28 +292,31 @@ def create_plume_bcs(state: FluidState, density_val, u_scale: float,
     center_z = max(Z // 2, 1)
     plume_rad = int(X * rad)
 
-    xi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z, Y, X), 4)
-    yi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z, Y, X), 3)
-    zi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z, Y, X), 2)
-    # Reference loops z=1..zdim, y=1..4, x=1..xdim (1-based) -> rows 0..3.
-    in_rows = yi < 4
+    # The plume touches rows y < 4 only (reference loops z=1..zdim,
+    # y=1..4, x=1..xdim, 1-based -> rows 0..3), so the bc/mask pair is
+    # stored slab-sized; apply_boundaries updates just those rows.
+    YB = min(4, Y)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z, YB, X), 4)
+    zi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z, YB, X), 2)
     dx_ = (center_x - 1) - xi   # match the reference's 1-based centerX - x
     dz_ = (center_z - 1) - zi
-    in_circle = in_rows & ((dx_ * dx_ + dz_ * dz_) <= plume_rad * plume_rad)
+    in_circle = (dx_ * dx_ + dz_ * dz_) <= plume_rad * plume_rad
 
     vec = [0.0, float(u_scale)] + ([0.0] if is_3d else [])
-    u_bc = jnp.zeros_like(u)
-    for c, v in enumerate(vec):
-        u_bc = u_bc.at[:, c:c + 1].set(jnp.where(in_circle, v, 0.0))
-    u_inv = jnp.where(in_rows, 0.0, 1.0).astype(u.dtype)
-    u_inv = jnp.broadcast_to(u_inv, u.shape)
+    u_bc = jnp.concatenate(
+        [jnp.where(in_circle, v, 0.0).astype(u.dtype) for v in vec],
+        axis=1)
+    u_bc = jnp.broadcast_to(u_bc, (b, cu, Z, YB, X))
+    # Velocity is frozen to the bc value everywhere in the plume rows
+    # (freeze-outside behavior, simulate.lua:114-119).
+    u_inv = jnp.zeros((b, cu, Z, YB, X), u.dtype)
 
     d_bc = jnp.concatenate(
         [jnp.where(in_circle, float(v), 0.0).astype(density.dtype)
          for v in density_val], axis=1)
-    d_bc = jnp.broadcast_to(d_bc, density.shape)
+    d_bc = jnp.broadcast_to(d_bc, (b, density.shape[1], Z, YB, X))
     d_inv = jnp.broadcast_to(jnp.where(in_circle, 0.0, 1.0).astype(
-        density.dtype), density.shape)
+        density.dtype), (b, density.shape[1], Z, YB, X))
 
     return Boundaries(u_bc=u_bc, u_bc_inv_mask=u_inv,
                       density_bc=d_bc, density_bc_inv_mask=d_inv)

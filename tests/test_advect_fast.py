@@ -326,3 +326,35 @@ def test_vorticity_confinement_pallas_matches_xla(p_obstacle):
         vorticity_confinement_xla(uu, flags, 0.7) ** 2))(u)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("p_obstacle", [0.0, 0.15])
+@pytest.mark.parametrize("scales", [(1.3, 0.0, 0.7), (0.9, 0.4, 0.0),
+                                    (0.0, 0.0, 0.9)])
+def test_forces_block_pallas_matches_xla(p_obstacle, scales):
+    """Fused buoyancy+gravity+vorticity kernel == the XLA composition
+    (simulate.lua:216-239 ordering), incl. zero-scale no-op cases."""
+    from fluidnet_tpu.ops.forces import forces_block, forces_block_xla
+
+    rng = np.random.default_rng(47)
+    flags, u, s = small_case(rng, True, vel_scale=1.0,
+                             p_obstacle=p_obstacle)
+    bs, gs, amp = scales
+    buoy_g = jnp.asarray([0.1, -0.8, 0.05], jnp.float32) * bs
+    grav_g = jnp.asarray([0.0, -1.0, 0.0], jnp.float32) * gs
+    dt = 0.3
+    want = forces_block_xla(u, flags, s, buoy_g, grav_g, amp, dt)
+    got = forces_block(u, flags, s, buoy_g, grav_g, amp, dt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    # Gradient path (full-rollout training): u AND density cotangents.
+    def loss(fb):
+        def f(uu, ss):
+            return jnp.sum(fb(uu, flags, ss, buoy_g, grav_g, amp, dt) ** 2)
+        return f
+    g1 = jax.grad(loss(forces_block), argnums=(0, 1))(u, s)
+    g2 = jax.grad(loss(forces_block_xla), argnums=(0, 1))(u, s)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
