@@ -177,14 +177,23 @@ def run_training(conf, argv_done=True):
               f"elements: {peak:,}; FPROP {t * 1e3:.3f} ms/batch")
 
     logger = Logger(model_path + "_log.tsv", LOG_COLUMNS)
+    # Target fields ride the device cache only when a p/u loss reads them
+    # (solver-sourced targets are recomputed in-graph; div losses never
+    # read them) — skipping them nearly doubles the HBM dataset budget.
+    need_targets = mconf.loss_p_lambda > 0 or mconf.loss_u_lambda > 0
+    cache_keys = ("p_div", "u_div", "flags", "density") + \
+        (("p_target", "u_target") if need_targets else ())
+    gb_scale = 1.0 if need_targets else 0.6   # p+3u of 10 channels dropped
     use_dev_cache = conf.device_data_cache and \
-        _dataset_gb(tr) + _dataset_gb(te) <= conf.device_data_cache_max_gb
+        (_dataset_gb(tr) + _dataset_gb(te)) * gb_scale \
+        <= conf.device_data_cache_max_gb
     if use_dev_cache:
         print("==> Uploading dataset to device HBM (one-time; batches "
               "become on-device gathers)")
-        tr_loader = DeviceDataset(tr, conf.batch_size, shuffle=True,
-                                  seed=conf.seed)
-        te_loader = DeviceDataset(te, conf.batch_size, shuffle=False)
+        tr_loader = DeviceDataset(tr, conf.batch_size, keys=cache_keys,
+                                  shuffle=True, seed=conf.seed)
+        te_loader = DeviceDataset(te, conf.batch_size, keys=cache_keys,
+                                  shuffle=False)
     else:
         tr_loader = PrefetchLoader(tr, conf.batch_size,
                                    conf.num_data_threads,

@@ -160,10 +160,90 @@ def _save(out_dir, frame, state: FluidState, divergent=True):
                     np.asarray(state.density[:, :1]))
 
 
-def generate_dataset(root, n_tr=4, n_te=2, seed=0, **kw):
-    """Creates <root>/{tr,te}/NNN run directories (data_binary.lua layout)."""
+def generate_run_batch(out_dirs, rng, size_xyz=(64, 64, 1), is_3d=False,
+                       n_frames=64, dt=0.1, advection="maccormackOurs",
+                       save_every=1, max_iter=300):
+    """Batched scene generation: rolls len(out_dirs) scenes as ONE batch
+    through the jitted advance/project pipeline (amortizes compile and
+    keeps the chip busy — the per-scene loop spends most of its time on
+    B=1 kernels). Scene-level randomization (obstacles, noise, density)
+    is per scene; the buoyancy / vorticity / plume draw is per batch,
+    passed as traced overrides so every batch reuses one compilation.
+
+    Returns the max PCG residual across the batch."""
+    B = len(out_dirs)
+    for d in out_dirs:
+        os.makedirs(d, exist_ok=True)
+    X, Y, Z = size_xyz
+    flags = jnp.concatenate(
+        [jnp.asarray(random_obstacle_flags(rng, (Z, Y, X), is_3d))
+         for _ in range(B)])
+    u0 = jnp.concatenate(
+        [jnp.asarray(divergence_free_noise(
+            rng, (Z, Y, X), is_3d,
+            amplitude=float(rng.random() * 4 + 1)), jnp.float32)
+         for _ in range(B)])
+    rho0 = jnp.asarray(rng.random((B, 1, Z, Y, X)), jnp.float32)
+    state = FluidState(u=u0, p=jnp.zeros((B, 1, Z, Y, X), jnp.float32),
+                       flags=flags, density=rho0)
+
+    buoy = float(rng.random() * 2.0) if rng.random() < 0.5 else 0.0
+    vort = float(rng.random() * 3.0) if rng.random() < 0.5 else 0.0
+    mconf = ModelConfig(is_3d=is_3d, dt=dt, advection_method=advection,
+                        sim_method="pcg", max_iter=max_iter)
+    bcs = None
+    if rng.random() < 0.5:
+        scale = float(rng.random() * 1.0 + 0.2)
+        state = state.replace(density=jnp.zeros_like(state.density))
+        bcs = create_plume_bcs(state, [1.0], u_scale=scale,
+                               rad=float(rng.random() * 0.1 + 0.1))
+
+    advance = jax.jit(lambda s, b, bs, va: simulate(
+        s, mconf, None, None, b, output_div=True, buoyancy_scale=bs,
+        vorticity_amp=va))
+    project = jax.jit(lambda s: project_pcg(s, max_iter=max_iter))
+    bs = jnp.asarray(buoy, jnp.float32)
+    va = jnp.asarray(vort, jnp.float32)
+
+    def save_all(st, f, divergent):
+        arrs = (np.asarray(st.p), np.asarray(st.u), np.asarray(st.flags),
+                np.asarray(st.density[:, :1]))
+        for i, d in enumerate(out_dirs):
+            save_manta_file(
+                os.path.join(d, frame_name(f, divergent)),
+                *(a[i:i + 1] for a in arrs))
+
+    max_res = 0.0
+    for f in range(n_frames):
+        state = advance(state, bcs, bs, va)  # divergent state
+        if f % save_every == 0:
+            save_all(state, f, True)
+        projected, res = project(state)
+        max_res = max(max_res, float(res))
+        if f % save_every == 0:
+            save_all(projected, f, False)
+        state = projected
+    return max_res
+
+
+def generate_dataset(root, n_tr=4, n_te=2, seed=0, scenes_per_batch=1,
+                     **kw):
+    """Creates <root>/{tr,te}/NNN run directories (data_binary.lua layout).
+
+    scenes_per_batch > 1 groups scene rollouts into batched jitted steps
+    (generate_run_batch) — scene content stays per-scene random."""
     rng = np.random.default_rng(seed)
     for split, n in (("tr", n_tr), ("te", n_te)):
-        for r in range(n):
-            generate_run(os.path.join(root, split, "%03d" % r), rng, **kw)
+        if scenes_per_batch > 1:
+            r = 0
+            while r < n:
+                g = min(scenes_per_batch, n - r)
+                dirs = [os.path.join(root, split, "%03d" % (r + i))
+                        for i in range(g)]
+                generate_run_batch(dirs, rng, **kw)
+                r += g
+        else:
+            for r in range(n):
+                generate_run(os.path.join(root, split, "%03d" % r), rng,
+                             **kw)
     return root

@@ -194,7 +194,16 @@ def loss_fn(params, batch, key, mconf: ModelConfig, n_future: int,
     gravity, b_scale, g_scale, v_amp = _random_forces(kforce, mconf)
 
     u_div = batch["u_div"]
-    p_target, u_target = batch["p_target"], batch["u_target"]
+    # Target fields are optional when the p/u losses are off (the div
+    # losses never read them) — the device cache then skips uploading
+    # them, nearly doubling the HBM dataset budget.
+    p_target = batch.get("p_target")
+    u_target = batch.get("u_target")
+    if p_target is None or u_target is None:
+        assert mconf.loss_p_lambda == 0 and mconf.loss_u_lambda == 0, \
+            "p/u losses need target fields in the batch"
+        p_target = jnp.zeros_like(batch["p_div"])
+        u_target = jnp.zeros_like(u_div)
     use_solver_gt = (mconf.train_target_source != "manta" and
                      (mconf.loss_p_lambda > 0 or mconf.loss_u_lambda > 0))
     if use_solver_gt:
