@@ -86,8 +86,14 @@ def _rollout_metric(te_loader, state, mconf, n_steps):
     from fluidnet_tpu.sim.simulate import simulate
 
     batch, _ = next(iter(te_loader.epoch(max_batches=1)))
-    s = FluidState(u=jnp.asarray(batch["u_target"]),
-                   p=jnp.asarray(batch["p_target"]),
+    # Prefer the projected (target) state as the rollout seed
+    # (calc_stats restarts from GT frames); when the device cache skips
+    # targets (div-only losses) seed from the divergent state — the
+    # first simulate step projects it, and the metric stays comparable
+    # across epochs of the same run.
+    u0 = batch.get("u_target", batch["u_div"])
+    p0 = batch.get("p_target", batch["p_div"])
+    s = FluidState(u=jnp.asarray(u0), p=jnp.asarray(p0),
                    flags=jnp.asarray(batch["flags"]),
                    density=jnp.asarray(batch["density"])
                    if batch.get("density") is not None else None)

@@ -47,7 +47,13 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_WINDOW = 2
 # Output z-slices per forward-kernel program (DMA/roll sharing; 1 => the
 # old slice-per-program layout).
-DEFAULT_SLICES_PER_PROGRAM = 4
+# Output slices per Pallas program (z-block height). Larger S amortizes
+# the per-program halo DMA ((S+2W)/S overhead) and lets rolled source
+# planes serve more outputs; smaller S bounds VMEM. Env override for
+# perf experiments (read once at import).
+import os as _os
+DEFAULT_SLICES_PER_PROGRAM = int(_os.environ.get(
+    "FLUIDNET_SLICES_PER_PROGRAM", "4"))
 
 
 def _interpret():
