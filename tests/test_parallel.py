@@ -115,3 +115,43 @@ def test_spatially_sharded_simulate_step():
     step = jax.jit(lambda s: simulate(s, mconf))
     out = step(state)
     assert np.all(np.isfinite(np.asarray(out.u)))
+
+
+def test_sharded_convnet_rollout():
+    """The production offline path under GSPMD: a scanned multi-step
+    rollout (sim.rollout) with the ConvNet projection + fused forces
+    block on a z-sharded state, checked against the unsharded rollout."""
+    from fluidnet_tpu.core.grids import FluidState
+    from fluidnet_tpu.models.fluidnet import apply_model, init_model
+    from fluidnet_tpu.sim.simulate import create_plume_bcs, rollout
+
+    mconf = ModelConfig(is_3d=True, sim_method="convnet",
+                        buoyancy_scale=1.0,
+                        vorticity_confinement_amp=2.0,
+                        advection_method="maccormackOurs",
+                        adaptive_window=False, advection_window=1,
+                        conv_compute_dtype="float32")
+    params = init_model(jax.random.PRNGKey(2), mconf)
+    B, Z, Y, X = 1, 16, 16, 16
+    state = FluidState(
+        u=jnp.zeros((B, 3, Z, Y, X)), p=jnp.zeros((B, 1, Z, Y, X)),
+        flags=empty_domain((B, 1, Z, Y, X), True),
+        density=jnp.zeros((B, 1, Z, Y, X)))
+    bcs = create_plume_bcs(state, [1.0], u_scale=0.6, rad=0.15)
+
+    def model_fn(pr, p, u, f):
+        return apply_model(pr, mconf, p, u, f)
+
+    roll = jax.jit(lambda s: rollout(s, mconf, 3, model_fn, params, bcs))
+    want = roll(state)
+
+    mesh = make_mesh(n_dp=1, n_sp=8)
+    sh = jax.sharding.NamedSharding(mesh, P(None, None, "sp", None, None))
+    sharded = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sh), state)
+    got = roll(sharded)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.density),
+                               np.asarray(want.density),
+                               rtol=1e-5, atol=1e-6)
