@@ -26,7 +26,7 @@ from fluidnet_tpu.io.vbox import VboxWriter
 from fluidnet_tpu.io.voxel_utils import (flip_diagonal, pad_voxels_to_dims,
                                          place_voxels_in_flags)
 from fluidnet_tpu.models.fluidnet import apply_model
-from fluidnet_tpu.sim.simulate import create_plume_bcs, simulate
+from fluidnet_tpu.sim.simulate import create_plume_bcs, rollout, simulate
 from fluidnet_tpu.train.train import init_train_state
 from fluidnet_tpu.utils.checkpoint import load_checkpoint, load_mconf
 
@@ -79,9 +79,14 @@ def run(args):
 
     # params/bcs as jit args (large closed-over arrays become XLA
     # constants and destroy compile/run time).
-    step = jax.jit(lambda s, prm, b: simulate(
-        s, mconf, model_fn if mconf.sim_method == "convnet" else None,
-        prm, b))
+    mf = model_fn if mconf.sim_method == "convnet" else None
+    step = jax.jit(lambda s, prm, b: simulate(s, mconf, mf, prm, b))
+    # Chunked scanned rollout (sim.rollout): `decimation` steps per
+    # device dispatch, materializing only the frame that gets written —
+    # the vbox cadence of fluid_net_3d_sim.lua:266-291 without the
+    # ~1.3 ms/step host round trip.
+    chunk = jax.jit(lambda s, prm, b: rollout(s, mconf, args.decimation,
+                                              mf, prm, b))
 
     writers = {}
     if args.out_dir:
@@ -100,14 +105,20 @@ def run(args):
 
     # Compile + first step outside timing.
     state = step(state, params, bcs)
-    jax.block_until_ready(state.u)
+    _ = np.asarray(state.u[0, 0, 0, :4])      # materialization fence
     t0 = time.perf_counter()
-    for i in range(1, args.num_frames):
-        state = step(state, params, bcs)
-        if "density" in writers and i % args.decimation == 0:
+    # Steps i = 1..num_frames-1; a frame is written after every
+    # `decimation`-step chunk (step index i % decimation == 0).
+    n_steps = args.num_frames - 1
+    n_chunks, rem = divmod(n_steps, args.decimation)
+    for _ in range(n_chunks):
+        state = chunk(state, params, bcs)
+        if "density" in writers:
             writers["density"].write_frame(np.asarray(state.density)[0, 0])
-    jax.block_until_ready(state.u)
-    dt_frame = (time.perf_counter() - t0) / max(args.num_frames - 1, 1)
+    for _ in range(rem):
+        state = step(state, params, bcs)
+    _ = np.asarray(state.u[0, 0, 0, :4])
+    dt_frame = (time.perf_counter() - t0) / max(n_steps, 1)
     for w in writers.values():
         w.close()
     print(f"Simulation done: {dt_frame * 1e3:.3f} ms/frame at {res}^3 "
