@@ -200,6 +200,8 @@ def run_training(conf, argv_done=True):
                                   shuffle=True, seed=conf.seed)
         te_loader = DeviceDataset(te, conf.batch_size, keys=cache_keys,
                                   shuffle=False)
+        tr.release_cache()   # batches are on-device gathers from here;
+        te.release_cache()   # the host frame cache is ~20 GB dead weight
     else:
         tr_loader = PrefetchLoader(tr, conf.batch_size,
                                    conf.num_data_threads,
@@ -209,9 +211,22 @@ def run_training(conf, argv_done=True):
     max_batches = (conf.max_samples_per_epoch // conf.batch_size
                    if conf.max_samples_per_epoch else 0)
 
+    def _rss_gb():
+        try:
+            with open("/proc/self/status") as f:
+                for ln in f:
+                    if ln.startswith("VmRSS"):
+                        return int(ln.split()[1]) / 1e6
+        except OSError:
+            pass
+        return float("nan")
+
     base_lr = mconf.optim.learning_rate
     prev_lr = None
     for epoch in range(start_epoch, conf.max_epochs):
+        import gc
+        gc.collect()
+        print(f"    [host RSS {_rss_gb():.1f} GB]")
         # lrEpochMults (run_epoch.lua:40-48); computed from scratch each
         # epoch so resume replays every past multiplier.
         lr = base_lr

@@ -131,6 +131,14 @@ class FluidDataset:
                 "is_3d": self.is_3d,
             }
 
+    def release_cache(self):
+        """Frees the host RAM frame cache (~12 MB/sample). Call after a
+        DeviceDataset upload — batches are on-device gathers from then
+        on, and on this host RAM is the training-stability budget (the
+        v4 run was OOM-killed at 122 GB RSS)."""
+        if self.cache is not None:
+            self.cache = {}
+
     def get_batch(self, indices):
         """Assembles a batch dict of stacked numpy arrays
         (AllocateBatchMemory/CreateBatch, data_binary.lua:356-453)."""
