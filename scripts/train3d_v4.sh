@@ -8,8 +8,12 @@
 #     scale 2, vorticity p=0.3 amp 3 -- the unrolled long-term-div loss
 #     then exposes the net to the buoyant/vortical states the demo and
 #     bench actually visit;
-#   - input-side dataAugmentation under the div-only loss
-#     (augment_without_targets; simulate.lua:374-414 semantics);
+#   - input-side dataAugmentation OFF: the reference's raw-gravity quirk
+#     (simulate.lua:395-400, never enabled there: trainBuoyancyProb=0)
+#     injects |dU| ~ dt/dx ~ 6 at 64^3 -- far outside any rollout state;
+#     the first v4 attempt with it ON showed te_div 25x train (pure
+#     memorization of unrealistic inputs). The unroll randomization above
+#     provides the in-distribution exposure instead;
 #   - rollout-stability model selection over 48 steps.
 cd "$(dirname "$0")/.."
 exec python -m fluidnet_tpu.cli.train \
@@ -21,7 +25,7 @@ exec python -m fluidnet_tpu.cli.train \
   -new_model.advection_method maccormackOurs \
   -new_model.adaptive_window false -new_model.advection_window 1 \
   -new_model.maccormack_strength 0.75 \
-  -new_model.augment_without_targets true \
+  -new_model.augment_without_targets false \
   -new_model.train_buoyancy_prob 0.5 -new_model.train_buoyancy_scale 2.0 \
   -new_model.train_vorticity_confinement_prob 0.3 \
   -new_model.train_vorticity_confinement_amp 3.0 \
