@@ -1,6 +1,6 @@
 """Headline benchmark: 3-D 128^3 smoke step loop (advect + CNN project).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
 Baseline derivation (BASELINE.md / SURVEY.md §6): the reference records no
 direct 3-D wall clock, but it records the 2-D default model's projection at
@@ -12,26 +12,68 @@ comparable memory-bound cost — i.e. <= ~13 steps/s for the full
 advect+project loop on the reference stack. We use 13 steps/s as the
 reference baseline; vs_baseline is our steps/s over that. The driver's
 north star is vs_baseline >= 50.
+
+Residual certification: when a trained 3-D checkpoint is available the
+bench ALSO runs the same plume rollout with the jacobi-34 matched-cost
+baseline (fluid_net_3d_sim.lua:80: maxIter=34 ~ ConvNet runtime) and
+reports "residual_ok" — final-state ||div|| of the learned projection at
+or below the matched-cost iterative level (BASELINE.md north-star clause).
+With no trained model on disk the bench falls back to random init and
+reports residual_ok: null (perf-only).
+
+Robustness: a transient TPU-backend init failure (round-3 failure mode:
+a wedged tunnel) gets ONE retry with backoff, in a fresh process (backend
+init failures are cached in-process by JAX).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
-
-import jax
-import jax.numpy as jnp
 
 BASELINE_STEPS_PER_SEC = 13.0
 RES = 128
 N_STEPS = 30
 
+# Trained checkpoints, most preferred first. Only rollout-stable models
+# belong here (v2-v4 destabilize over long rollouts; see docs/STATUS.md).
+CHECKPOINTS = (
+    "data/models/m3d_v5_bestRollout",
+    "data/models_bundled/m3d_v5_bestRollout",
+)
+
+
+def _load_trained_params(mconf):
+    """Returns (params, name) from the first available trained checkpoint
+    whose mconf matches the bench model architecture, or (None, None)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    for rel in CHECKPOINTS:
+        path = os.path.join(repo, rel)
+        if not os.path.isdir(path):
+            continue
+        try:
+            import jax
+            from fluidnet_tpu.train.train import init_train_state
+            from fluidnet_tpu.utils.checkpoint import load_checkpoint
+            state = init_train_state(jax.random.PRNGKey(0), mconf)
+            state, mconf_ckpt, _ = load_checkpoint(path, state)
+            return state.params, rel, mconf_ckpt
+        except Exception as e:  # architecture drift, corrupt file, ...
+            print(f"warning: could not load {rel}: {e}", file=sys.stderr)
+    return None, None, None
+
 
 def main():
+    import jax
+    import jax.numpy as jnp
+
     from fluidnet_tpu.core.config import ModelConfig
     from fluidnet_tpu.core.grids import FluidState, empty_domain
     from fluidnet_tpu.models.fluidnet import apply_model
-    from fluidnet_tpu.sim.simulate import create_plume_bcs, simulate
+    from fluidnet_tpu.ops.divergence import velocity_divergence
+    from fluidnet_tpu.sim.simulate import create_plume_bcs, rollout
     from fluidnet_tpu.train.train import init_train_state
 
     # Fixed W=1 window (adaptive_window=False): the production smoke
@@ -44,7 +86,19 @@ def main():
         buoyancy_scale=2.0, vorticity_confinement_amp=3.0,
         maccormack_strength=0.6, advection_method="maccormackOurs",
         adaptive_window=False, advection_window=1)
-    params = init_train_state(jax.random.PRNGKey(0), mconf).params
+
+    params, ckpt_name, mconf_ckpt = _load_trained_params(mconf)
+    trained = params is not None
+    if trained:
+        # Keep the checkpoint's architecture/scaling fields; force the
+        # bench's production sim knobs.
+        mconf = mconf_ckpt.replace(
+            sim_method="convnet", dt=0.1, buoyancy_scale=2.0,
+            vorticity_confinement_amp=3.0, maccormack_strength=0.6,
+            advection_method="maccormackOurs", adaptive_window=False,
+            advection_window=1)
+    else:
+        params = init_train_state(jax.random.PRNGKey(0), mconf).params
 
     B, Z, Y, X = 1, RES, RES, RES
     flags = empty_domain((B, 1, Z, Y, X), True)
@@ -54,6 +108,7 @@ def main():
         flags=flags,
         density=jnp.zeros((B, 1, Z, Y, X), jnp.float32))
     bcs = create_plume_bcs(state, [1.0], u_scale=0.6, rad=0.15)
+    state0 = state
 
     def model_fn(pr, p, u, f):
         return apply_model(pr, mconf, p, u, f)
@@ -71,7 +126,6 @@ def main():
     # launches are asynchronous. steps/s here = full simulate() steps
     # (advect+forces+CNN project) per second of wall time, fenced by a
     # device->host materialization of the final state.
-    from fluidnet_tpu.sim.simulate import rollout
     roll = jax.jit(lambda s, prm, b: rollout(
         s, mconf, N_STEPS, model_fn, prm, b), donate_argnums=0)
 
@@ -90,14 +144,52 @@ def main():
     dt = (time.perf_counter() - t0) / (N_STEPS * REPS)
     assert bool(np.isfinite(np.asarray(state.u)).all()), "sim blew up"
 
+    # Residual certification (trained model only): final-state ||div||_2
+    # after the same (1 + REPS) * N_STEPS plume steps, convnet vs the
+    # jacobi-34 matched-cost baseline (fluid_net_3d_sim.lua:80).
+    residual_ok = None
+    div_cnn = div_jac = None
+    if trained:
+        div = velocity_divergence(state.u, state.flags)
+        div_cnn = float(jnp.linalg.norm(div))
+        mconf_j = mconf.replace(sim_method="jacobi", max_iter=34)
+        roll_j = jax.jit(lambda s, b: rollout(s, mconf_j,
+                                              (1 + REPS) * N_STEPS,
+                                              None, None, b))
+        state_j = roll_j(state0, bcs)
+        div_j = velocity_divergence(state_j.u, state_j.flags)
+        div_jac = float(jnp.linalg.norm(div_j))
+        residual_ok = bool(np.isfinite(div_cnn) and div_cnn <= div_jac)
+
     steps_per_sec = 1.0 / dt
-    print(json.dumps({
+    out = {
         "metric": "3d_128_smoke_steps_per_sec_advect_plus_cnn_project",
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
-    }))
+        "model": ckpt_name if trained else "random_init",
+        "residual_ok": residual_ok,
+    }
+    if div_cnn is not None:
+        out["final_div_l2_convnet"] = round(div_cnn, 4)
+        out["final_div_l2_jacobi34"] = round(div_jac, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        msg = f"{type(e).__name__}: {e}"
+        transient = ("Unable to initialize backend" in msg
+                     or "UNAVAILABLE" in msg or "DEADLINE_EXCEEDED" in msg)
+        if transient and "--retry" not in sys.argv:
+            # Backend init failures are cached in-process: retry must be a
+            # fresh process. One retry with backoff (round-3 failure mode:
+            # transiently wedged TPU tunnel).
+            print(f"bench: transient backend failure, retrying in 60s "
+                  f"({msg})", file=sys.stderr)
+            time.sleep(60)
+            os.execv(sys.executable,
+                     [sys.executable, os.path.abspath(__file__), "--retry"])
+        raise

@@ -27,11 +27,13 @@ from fluidnet_tpu.data.dataset import (DeviceDataset, FluidDataset,
                                         PrefetchLoader)
 
 
-def _dataset_gb(ds) -> float:
-    """Approximate device-resident size of a FluidDataset in GB."""
+def _dataset_gb(ds, keys=None) -> float:
+    """Approximate device-resident size of a FluidDataset in GB; `keys`
+    restricts to the fields that will actually be uploaded (the device
+    cache skips p/u targets under div-only losses)."""
     sample = ds.get_batch([0])
-    per = sum(v.nbytes for v in sample.values()
-              if hasattr(v, "nbytes")) / 1e9
+    per = sum(v.nbytes for k, v in sample.items()
+              if hasattr(v, "nbytes") and (keys is None or k in keys)) / 1e9
     return per * len(ds)
 from fluidnet_tpu.data.generate import generate_dataset
 from fluidnet_tpu.sim.simulate import simulate  # noqa: F401 (stats path)
@@ -189,9 +191,8 @@ def run_training(conf, argv_done=True):
     need_targets = mconf.loss_p_lambda > 0 or mconf.loss_u_lambda > 0
     cache_keys = ("p_div", "u_div", "flags", "density") + \
         (("p_target", "u_target") if need_targets else ())
-    gb_scale = 1.0 if need_targets else 0.6   # p+3u of 10 channels dropped
     use_dev_cache = conf.device_data_cache and \
-        (_dataset_gb(tr) + _dataset_gb(te)) * gb_scale \
+        (_dataset_gb(tr, cache_keys) + _dataset_gb(te, cache_keys)) \
         <= conf.device_data_cache_max_gb
     if use_dev_cache:
         print("==> Uploading dataset to device HBM (one-time; batches "

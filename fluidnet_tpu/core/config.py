@@ -141,7 +141,10 @@ class Config:
     """The reference conf (default_conf.lua:22-162)."""
     batch_size: int = 16
     data_dir: str = "data/datasets"
-    dataset: str = "output_current_model_sphere"
+    # Default dataset name: self-generated on first use by cli/train.py
+    # (the reference's mantaflow name "output_current_model_sphere" never
+    # ships here; an unknown name triggers the same self-generation).
+    dataset: str = "gen2d_default"
     eval_during_training: bool = True
     ignore_frames: int = 0
     load_model: bool = False

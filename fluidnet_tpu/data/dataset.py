@@ -132,12 +132,13 @@ class FluidDataset:
             }
 
     def release_cache(self):
-        """Frees the host RAM frame cache (~12 MB/sample). Call after a
-        DeviceDataset upload — batches are on-device gathers from then
-        on, and on this host RAM is the training-stability budget (the
-        v4 run was OOM-killed at 122 GB RSS)."""
-        if self.cache is not None:
-            self.cache = {}
+        """Frees the host RAM frame cache (~12 MB/sample) AND disables
+        caching. Call after a DeviceDataset upload — batches are on-device
+        gathers from then on, and on this host RAM is the
+        training-stability budget (the v4 run was OOM-killed at 122 GB
+        RSS). Caching stays off so a later stray get_batch cannot silently
+        repopulate the cache; reads still work (straight from disk)."""
+        self.cache = None
 
     def get_batch(self, indices):
         """Assembles a batch dict of stacked numpy arrays

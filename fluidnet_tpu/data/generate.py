@@ -15,6 +15,7 @@ exactly the layout DataBinary consumes (torch/lib/data_binary.lua:51-52).
 """
 
 import os
+from functools import partial
 
 import numpy as np
 
@@ -28,7 +29,8 @@ from fluidnet_tpu.data.manta_io import frame_name, save_manta_file
 from fluidnet_tpu.ops.boundary import set_wall_bcs
 from fluidnet_tpu.ops.divergence import velocity_divergence
 from fluidnet_tpu.ops.velocity_update import velocity_update
-from fluidnet_tpu.sim.simulate import create_plume_bcs, simulate
+from fluidnet_tpu.sim.simulate import (Boundaries, create_plume_bcs,
+                                       simulate)
 from fluidnet_tpu.solvers.cg import solve_pcg
 
 
@@ -112,6 +114,36 @@ def project_pcg(state: FluidState, max_iter=300, tol=1e-5):
     return state.replace(u=u, p=p), residual
 
 
+# Module-level jitted steps so every run/batch of the same shape reuses ONE
+# compilation (a per-call jax.jit(lambda ...) is a fresh cache entry each
+# time — each 8-scene batch would retrace and recompile).
+@partial(jax.jit, static_argnames=("mconf",))
+def _gen_advance(state, bcs, b_scale, v_amp, mconf):
+    return simulate(state, mconf, None, None, bcs, output_div=True,
+                    buoyancy_scale=b_scale, vorticity_amp=v_amp)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _gen_project(state, max_iter):
+    return project_pcg(state, max_iter=max_iter)
+
+
+def _identity_boundaries_like(bcs: "Boundaries") -> "Boundaries":
+    """A Boundaries pytree that applies no change (inv_mask=1, bc=0), with
+    the same field shapes as `bcs` — used to mix plume and plume-free
+    scenes inside one generation batch."""
+    def z(a):
+        return None if a is None else jnp.zeros_like(a)
+
+    def o(a):
+        return None if a is None else jnp.ones_like(a)
+
+    return Boundaries(u_bc=z(bcs.u_bc), u_bc_inv_mask=o(bcs.u_bc_inv_mask),
+                      p_bc=z(bcs.p_bc), p_bc_inv_mask=o(bcs.p_bc_inv_mask),
+                      density_bc=z(bcs.density_bc),
+                      density_bc_inv_mask=o(bcs.density_bc_inv_mask))
+
+
 def generate_run(out_dir, rng, size_xyz=(64, 64, 1), is_3d=False,
                  n_frames=64, dt=0.1, buoyancy_scale=None, plume=None,
                  advection="maccormackOurs", save_every=1, max_iter=300):
@@ -129,23 +161,21 @@ def generate_run(out_dir, rng, size_xyz=(64, 64, 1), is_3d=False,
     if buoyancy_scale is None:
         buoyancy_scale = float(rng.random() * 2.0) if rng.random() < 0.5 else 0.0
     mconf = ModelConfig(is_3d=is_3d, dt=dt, advection_method=advection,
-                        buoyancy_scale=buoyancy_scale, sim_method="pcg",
-                        max_iter=max_iter)
+                        sim_method="pcg", max_iter=max_iter)
     bcs = None
     if plume is not None or rng.random() < 0.5:
         scale = plume if plume is not None else float(rng.random() * 1.0 + 0.2)
         state = state.replace(density=jnp.zeros_like(state.density))
         bcs = create_plume_bcs(state, [1.0], u_scale=scale, rad=0.15)
 
-    advance = jax.jit(lambda s, b: simulate(s, mconf, None, None, b,
-                                            output_div=True))
-    project = jax.jit(lambda s: project_pcg(s, max_iter=max_iter))
+    bs = jnp.asarray(buoyancy_scale, jnp.float32)
+    va = jnp.zeros((), jnp.float32)
     max_res = 0.0
     for f in range(n_frames):
-        state = advance(state, bcs)          # divergent state
+        state = _gen_advance(state, bcs, bs, va, mconf)  # divergent state
         if f % save_every == 0:
             _save(out_dir, f, state)
-        projected, res = project(state)
+        projected, res = _gen_project(state, max_iter)
         max_res = max(max_res, float(res))
         if f % save_every == 0:
             _save(out_dir, f, projected, divergent=False)
@@ -166,9 +196,11 @@ def generate_run_batch(out_dirs, rng, size_xyz=(64, 64, 1), is_3d=False,
     """Batched scene generation: rolls len(out_dirs) scenes as ONE batch
     through the jitted advance/project pipeline (amortizes compile and
     keeps the chip busy — the per-scene loop spends most of its time on
-    B=1 kernels). Scene-level randomization (obstacles, noise, density)
-    is per scene; the buoyancy / vorticity / plume draw is per batch,
-    passed as traced overrides so every batch reuses one compilation.
+    B=1 kernels). ALL randomization is per scene: obstacles, noise,
+    density, buoyancy / vorticity scales (traced (B,) vectors) and the
+    plume (per-scene masks; plume-free scenes get identity BCs) — so
+    batching costs no force-condition diversity, and one compilation
+    serves every batch.
 
     Returns the max PCG residual across the batch."""
     B = len(out_dirs)
@@ -187,21 +219,33 @@ def generate_run_batch(out_dirs, rng, size_xyz=(64, 64, 1), is_3d=False,
     state = FluidState(u=u0, p=jnp.zeros((B, 1, Z, Y, X), jnp.float32),
                        flags=flags, density=rho0)
 
-    buoy = float(rng.random() * 2.0) if rng.random() < 0.5 else 0.0
-    vort = float(rng.random() * 3.0) if rng.random() < 0.5 else 0.0
     mconf = ModelConfig(is_3d=is_3d, dt=dt, advection_method=advection,
                         sim_method="pcg", max_iter=max_iter)
-    bcs = None
-    if rng.random() < 0.5:
-        scale = float(rng.random() * 1.0 + 0.2)
-        state = state.replace(density=jnp.zeros_like(state.density))
-        bcs = create_plume_bcs(state, [1.0], u_scale=scale,
-                               rad=float(rng.random() * 0.1 + 0.1))
 
-    advance = jax.jit(lambda s, b, bs, va: simulate(
-        s, mconf, None, None, b, output_div=True, buoyancy_scale=bs,
-        vorticity_amp=va))
-    project = jax.jit(lambda s: project_pcg(s, max_iter=max_iter))
+    # Per-scene force draws (same marginals as the per-scene path).
+    buoy = np.where(rng.random(B) < 0.5, rng.random(B) * 2.0, 0.0)
+    vort = np.where(rng.random(B) < 0.5, rng.random(B) * 3.0, 0.0)
+
+    # Per-scene plume: scenes draw their own on/off, inflow speed and
+    # radius; plume scenes start with zero density (filled by the inflow).
+    scene_bcs = []
+    has_plume = rng.random(B) < 0.5
+    rho_host = np.array(rho0)
+    for i in range(B):
+        si = FluidState(u=u0[i:i + 1], p=state.p[i:i + 1],
+                        flags=flags[i:i + 1], density=rho0[i:i + 1])
+        b_i = create_plume_bcs(
+            si, [1.0], u_scale=float(rng.random() * 1.0 + 0.2),
+            rad=float(rng.random() * 0.1 + 0.1))
+        if has_plume[i]:
+            rho_host[i] = 0.0
+        else:
+            b_i = _identity_boundaries_like(b_i)
+        scene_bcs.append(b_i)
+    bcs = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *scene_bcs)
+    state = state.replace(density=jnp.asarray(rho_host))
+
     bs = jnp.asarray(buoy, jnp.float32)
     va = jnp.asarray(vort, jnp.float32)
 
@@ -215,10 +259,10 @@ def generate_run_batch(out_dirs, rng, size_xyz=(64, 64, 1), is_3d=False,
 
     max_res = 0.0
     for f in range(n_frames):
-        state = advance(state, bcs, bs, va)  # divergent state
+        state = _gen_advance(state, bcs, bs, va, mconf)  # divergent state
         if f % save_every == 0:
             save_all(state, f, True)
-        projected, res = project(state)
+        projected, res = _gen_project(state, max_iter)
         max_res = max(max_res, float(res))
         if f % save_every == 0:
             save_all(projected, f, False)
@@ -232,6 +276,8 @@ def generate_dataset(root, n_tr=4, n_te=2, seed=0, scenes_per_batch=1,
 
     scenes_per_batch > 1 groups scene rollouts into batched jitted steps
     (generate_run_batch) — scene content stays per-scene random."""
+    import time
+
     rng = np.random.default_rng(seed)
     for split, n in (("tr", n_tr), ("te", n_te)):
         if scenes_per_batch > 1:
@@ -240,7 +286,11 @@ def generate_dataset(root, n_tr=4, n_te=2, seed=0, scenes_per_batch=1,
                 g = min(scenes_per_batch, n - r)
                 dirs = [os.path.join(root, split, "%03d" % (r + i))
                         for i in range(g)]
-                generate_run_batch(dirs, rng, **kw)
+                t0 = time.time()
+                res = generate_run_batch(dirs, rng, **kw)
+                print(f"  [{split} {r + g}/{n}] {g} scenes in "
+                      f"{time.time() - t0:.1f}s (max residual {res:.2e})",
+                      flush=True)
                 r += g
         else:
             for r in range(n):

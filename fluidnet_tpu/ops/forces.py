@@ -15,11 +15,31 @@ from fluidnet_tpu.ops import stencil as st
 _VEC3_EPS = 1e-6  # vec3 kEpsilon (generic/vec3.cu.h:21).
 
 
+def _gcomp(gravity, c):
+    """Component c of a gravity vector that is either (3,) — the reference
+    semantics (init.lua:463-464) — or (B, 3) for per-sample force scales
+    (used by batched scene generation). Returns a scalar or (B, 1, 1, 1)
+    so it broadcasts against (B, z, y, x) fields."""
+    if gravity.ndim == 1:
+        return gravity[c]
+    return gravity[:, c].reshape(-1, 1, 1, 1)
+
+
+def _samp(strength, ndim=4):
+    """A confinement strength that is a scalar or (B,); reshaped to
+    broadcast against an (B, z, y, x) field."""
+    s = jnp.asarray(strength)
+    if s.ndim == 0:
+        return s
+    return s.reshape(s.shape + (1,) * (ndim - 1))
+
+
 def add_buoyancy(u, flags, density, gravity, dt):
     """U += 0.5 * strength * (rho(i) + rho(i-1)) on fluid-fluid faces.
 
     strength = -gravity * dt / dx (tfluids.cc:1190-1191). `gravity` is a
-    3-vector even in 2-D (init.lua:463-464).
+    3-vector even in 2-D (init.lua:463-464), or (B, 3) for per-sample
+    scales.
     """
     is_3d = check_shapes(u, flags, density)
     gravity = jnp.asarray(gravity, dtype=u.dtype)
@@ -34,10 +54,11 @@ def add_buoyancy(u, flags, density, gravity, dt):
         add = 0.5 * s * (rho + rho_m)
         return jnp.where(fl & fl_m & interior, uc + add, uc)
 
-    ux = face(u[:, 0], strength[0], st.xm(fl, False), st.xm(rho))
-    uy = face(u[:, 1], strength[1], st.ym(fl, False), st.ym(rho))
+    ux = face(u[:, 0], _gcomp(strength, 0), st.xm(fl, False), st.xm(rho))
+    uy = face(u[:, 1], _gcomp(strength, 1), st.ym(fl, False), st.ym(rho))
     if is_3d:
-        uz = face(u[:, 2], strength[2], st.zm(fl, False), st.zm(rho))
+        uz = face(u[:, 2], _gcomp(strength, 2), st.zm(fl, False),
+                  st.zm(rho))
         return jnp.stack([ux, uy, uz], axis=1)
     return jnp.stack([ux, uy], axis=1)
 
@@ -60,10 +81,11 @@ def add_gravity(u, flags, gravity, dt):
         m = cur & (fl_m | (fl & em_m))
         return jnp.where(m, uc + f, uc)
 
-    ux = face(u[:, 0], force[0], st.xm(fl, False), st.xm(em, False))
-    uy = face(u[:, 1], force[1], st.ym(fl, False), st.ym(em, False))
+    ux = face(u[:, 0], _gcomp(force, 0), st.xm(fl, False), st.xm(em, False))
+    uy = face(u[:, 1], _gcomp(force, 1), st.ym(fl, False), st.ym(em, False))
     if is_3d:
-        uz = face(u[:, 2], force[2], st.zm(fl, False), st.zm(em, False))
+        uz = face(u[:, 2], _gcomp(force, 2), st.zm(fl, False),
+                  st.zm(em, False))
         return jnp.stack([ux, uy, uz], axis=1)
     return jnp.stack([ux, uy], axis=1)
 
@@ -107,9 +129,9 @@ def vorticity_confinement(u, flags, strength):
     """Adds the vorticity-confinement force (tfluids.cc:1312-1458).
 
     3-D runs the fused Pallas kernel (one VMEM-resident pass instead of
-    the 4-stage XLA stencil chain); 2-D and the kernel's own VJP use the
-    XLA formulation below."""
-    if check_shapes(u, flags):
+    the 4-stage XLA stencil chain); 2-D, per-sample (B,) strengths and
+    the kernel's own VJP use the XLA formulation below."""
+    if check_shapes(u, flags) and jnp.ndim(strength) == 0:
         from fluidnet_tpu.ops.pallas.forces_kernel import \
             vorticity_confinement_pallas
         return vorticity_confinement_pallas(u, flags, strength)
@@ -151,10 +173,11 @@ def vorticity_confinement_xla(u, flags, strength):
     inv = jnp.where(safe, 1.0 / jnp.where(safe, g_norm, 1.0), 0.0)
     gx, gy, gz = gx * inv, gy * inv, gz * inv
 
-    # force = cross(grad_hat, curl) * strength.
-    fx = (gy * curl[:, 2] - gz * curl[:, 1]) * strength
-    fy = (gz * curl[:, 0] - gx * curl[:, 2]) * strength
-    fz = (gx * curl[:, 1] - gy * curl[:, 0]) * strength
+    # force = cross(grad_hat, curl) * strength (scalar or per-sample (B,)).
+    s = _samp(strength)
+    fx = (gy * curl[:, 2] - gz * curl[:, 1]) * s
+    fy = (gz * curl[:, 0] - gx * curl[:, 2]) * s
+    fz = (gx * curl[:, 1] - gy * curl[:, 0]) * s
     force = jnp.stack([fx, fy, fz], axis=1)
     force = jnp.where(interior5, force, jnp.zeros_like(force))
 
@@ -179,8 +202,11 @@ def forces_block_xla(u, flags, density, buoy_g, grav_g, amp, dt):
 def forces_block(u, flags, density, buoy_g, grav_g, amp, dt):
     """Fused forces block: the 3-D path runs one Pallas kernel (buoyancy +
     gravity + the 4-stage confinement chain in a single VMEM-resident
-    pass); 2-D and the VJP use the XLA composition."""
-    if check_shapes(u, flags, density):
+    pass); 2-D, per-sample force scales ((B, 3) vectors / (B,) amp) and
+    the VJP use the XLA composition."""
+    batched = (jnp.ndim(buoy_g) > 1 or jnp.ndim(grav_g) > 1 or
+               jnp.ndim(amp) > 0)
+    if check_shapes(u, flags, density) and not batched:
         from fluidnet_tpu.ops.pallas.forces_kernel import \
             forces_block_pallas
         return forces_block_pallas(u, flags, density, buoy_g, grav_g,

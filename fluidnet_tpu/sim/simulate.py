@@ -77,6 +77,16 @@ def _get_gravity(mconf: ModelConfig, dtype):
     return jnp.asarray(mconf.gravity, dtype)
 
 
+def _scale_gravity(g_vec, scale):
+    """g_vec * scale where scale is a scalar or a per-sample (B,) vector
+    (batched scene generation); the latter yields a (B, 3) gravity that
+    the XLA force ops broadcast per sample."""
+    scale = jnp.asarray(scale)
+    if scale.ndim == 0:
+        return g_vec * scale
+    return g_vec[None, :] * scale[:, None]
+
+
 def simulate(state: FluidState, mconf: ModelConfig,
              model_fn: Optional[Callable] = None,
              params=None,
@@ -179,20 +189,22 @@ def simulate(state: FluidState, mconf: ModelConfig,
     is_3d = flags.shape[2] > 1
     if is_3d and density is not None and (has_buoy or has_grav or has_vc):
         zero3 = jnp.zeros((3,), u.dtype)
-        buoy_g = g_vec * (-(dx / 4.0) * b_scale) if has_buoy else zero3
-        grav_g = g_vec * (-(dx / 4.0) * g_scale) if has_grav else zero3
-        amp = dx * v_amp if has_vc else jnp.zeros((), u.dtype)
+        buoy_g = _scale_gravity(g_vec, -(dx / 4.0) * b_scale) \
+            if has_buoy else zero3
+        grav_g = _scale_gravity(g_vec, -(dx / 4.0) * g_scale) \
+            if has_grav else zero3
+        amp = dx * jnp.asarray(v_amp) if has_vc else jnp.zeros((), u.dtype)
         u = forces_block(u, flags, density[:, 0:1], buoy_g, grav_g, amp,
                          dt)
     else:
         if has_buoy:
-            g = g_vec * (-(dx / 4.0) * b_scale)
+            g = _scale_gravity(g_vec, -(dx / 4.0) * b_scale)
             u = add_buoyancy(u, flags, density[:, 0:1], g, dt)
         if has_grav:
-            g = g_vec * (-(dx / 4.0) * g_scale)
+            g = _scale_gravity(g_vec, -(dx / 4.0) * g_scale)
             u = add_gravity(u, flags, g, dt)
         if has_vc:
-            u = vorticity_confinement(u, flags, dx * v_amp)
+            u = vorticity_confinement(u, flags, dx * jnp.asarray(v_amp))
 
     if output_div:
         # Return the divergent state for training (simulate.lua:241-245).
@@ -256,6 +268,11 @@ def rollout(state: FluidState, mconf: ModelConfig, n_steps: int,
 
     if save_every and save_every > 1:
         # Chunk: inner scan of save_every steps, outer scan stacks frames.
+        # A non-divisible count would silently drop the remainder steps.
+        assert n_steps % save_every == 0, (
+            f"n_steps ({n_steps}) must be divisible by save_every "
+            f"({save_every})")
+
         def chunk(s, _):
             s, _ = jax.lax.scan(lambda c, x: (simulate(
                 c, mconf, model_fn, params, bcs), None), s, None,

@@ -358,3 +358,53 @@ def test_forces_block_pallas_matches_xla(p_obstacle, scales):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_per_sample_force_scales_match_per_scene():
+    """Batched (B,) buoyancy/vorticity scales (batched scene generation,
+    data/generate.py) == stacking B independent scalar-scale calls."""
+    from fluidnet_tpu.core.grids import empty_domain
+    from fluidnet_tpu.ops.forces import forces_block_xla
+
+    rng = np.random.default_rng(31)
+    B, Z, Y, X = 3, 6, 8, 16
+    flags = empty_domain((B, 1, Z, Y, X), True)
+    u = jnp.asarray(rng.standard_normal((B, 3, Z, Y, X)), jnp.float32)
+    rho = jnp.asarray(rng.random((B, 1, Z, Y, X)), jnp.float32)
+    g = jnp.asarray([0.0, -1.0, 0.0], jnp.float32)
+    bs = jnp.asarray([1.3, 0.0, 0.6], jnp.float32)
+    amp = jnp.asarray([0.0, 0.8, 0.4], jnp.float32)
+    dt = 0.3
+
+    got = forces_block_xla(u, flags, rho, g[None, :] * bs[:, None],
+                           jnp.zeros((3,), jnp.float32), amp, dt)
+    for i in range(B):
+        want_i = forces_block_xla(
+            u[i:i + 1], flags[i:i + 1], rho[i:i + 1], g * bs[i],
+            jnp.zeros((3,), jnp.float32), float(amp[i]), dt)
+        np.testing.assert_allclose(np.asarray(got[i:i + 1]),
+                                   np.asarray(want_i),
+                                   rtol=1e-5, atol=1e-6)
+
+    # End-to-end: simulate() with (B,) overrides == per-scene simulate.
+    from fluidnet_tpu.core.config import ModelConfig
+    from fluidnet_tpu.core.grids import FluidState
+    from fluidnet_tpu.sim.simulate import simulate
+
+    mconf = ModelConfig(is_3d=True, dt=0.1, sim_method="jacobi",
+                        max_iter=4, advection_method="maccormackOurs",
+                        advection_window=1, adaptive_window=False)
+    sim = jax.jit(lambda s, b, v: simulate(s, mconf, buoyancy_scale=b,
+                                           vorticity_amp=v))
+    st = FluidState(u=u, p=jnp.zeros((B, 1, Z, Y, X), jnp.float32),
+                    flags=flags, density=rho)
+    out = sim(st, bs, amp)
+    sim1 = jax.jit(lambda s, b, v: simulate(s, mconf, buoyancy_scale=b,
+                                            vorticity_amp=v))
+    for i in range(B):
+        st_i = FluidState(u=u[i:i + 1], p=st.p[i:i + 1],
+                          flags=flags[i:i + 1], density=rho[i:i + 1])
+        out_i = sim1(st_i, bs[i], amp[i])
+        np.testing.assert_allclose(np.asarray(out.u[i:i + 1]),
+                                   np.asarray(out_i.u),
+                                   rtol=1e-4, atol=1e-5)
