@@ -49,7 +49,17 @@ LOG_COLUMNS = ["epoch", "tr_loss", "tr_p", "tr_u", "tr_div", "tr_lt_div",
                "te_loss", "te_p", "te_u", "te_div", "te_lt_div"]
 
 
-def _epoch(loader, state, mconf, key, py_rng, training, max_batches=0):
+@jax.jit
+def _ema_update(ema, params, decay):
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1.0 - decay), ema, params)
+
+
+def _epoch(loader, state, mconf, key, py_rng, training, max_batches=0,
+           sample_n=None, ema=None):
+    """One pass over the loader. `sample_n()` overrides the horizon
+    sampling (epoch curriculum); `ema` is a dict {'params', 'decay'}
+    updated in place after every training step."""
     from fluidnet_tpu.utils.pbar import progress
     sums = {}
     n = 0
@@ -61,11 +71,18 @@ def _epoch(loader, state, mconf, key, py_rng, training, max_batches=0):
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("p_div", "u_div", "flags", "p_target", "u_target",
                            "density")}
-        n_future = (sample_future_steps(py_rng, mconf)
-                    if mconf.long_term_div_lambda > 0 else 0)
+        if mconf.long_term_div_lambda <= 0:
+            n_future = 0
+        elif sample_n is not None:
+            n_future = sample_n()
+        else:
+            n_future = sample_future_steps(py_rng, mconf)
         key, sub = jax.random.split(key)
         if training:
             state, terms = train_step(state, jbatch, sub, mconf, n_future)
+            if ema is not None:
+                ema["params"] = _ema_update(ema["params"], state.params,
+                                            ema["decay"])
         else:
             terms = eval_step(jbatch, state.params, sub, mconf, n_future)
         loss = float(terms["total"])
@@ -78,14 +95,33 @@ def _epoch(loader, state, mconf, key, py_rng, training, max_batches=0):
     return state, {k: v / max(n, 1) for k, v in sums.items()}, key
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("mconf", "n_steps"))
+def _rollout_div(s0, params, mconf, n_steps):
+    """Jitted n-step free rollout -> mean final ||div||_2. Module-level
+    jit: a per-call jax.jit(lambda) would leak one compiled executable
+    per epoch."""
+    from fluidnet_tpu.models.fluidnet import apply_model
+    from fluidnet_tpu.ops.divergence import velocity_divergence
+    from fluidnet_tpu.sim.simulate import simulate
+
+    def body(carry, _):
+        st = simulate(carry, mconf, model_fn=lambda pr, p, u, f:
+                      apply_model(pr, mconf, p, u, f), params=params)
+        return st, None
+    sN, _ = jax.lax.scan(body, s0, None, length=n_steps)
+    div = velocity_divergence(sN.u, sN.flags)
+    b = div.shape[0]
+    return jnp.mean(jnp.sqrt(jnp.sum(div.reshape(b, -1) ** 2, axis=1)))
+
+
 def _rollout_metric(te_loader, state, mconf, n_steps):
     """Mean final-step ||div|| of an n-step free rollout from the first
     test batch's projected state (calc_stats.lua semantics, miniaturized
     for per-epoch model selection)."""
     from fluidnet_tpu.core.grids import FluidState
-    from fluidnet_tpu.models.fluidnet import apply_model
-    from fluidnet_tpu.ops.divergence import velocity_divergence
-    from fluidnet_tpu.sim.simulate import simulate
 
     batch, _ = next(iter(te_loader.epoch(max_batches=1)))
     # Prefer the projected (target) state as the rollout seed
@@ -99,20 +135,7 @@ def _rollout_metric(te_loader, state, mconf, n_steps):
                    flags=jnp.asarray(batch["flags"]),
                    density=jnp.asarray(batch["density"])
                    if batch.get("density") is not None else None)
-
-    @jax.jit
-    def roll(s0, params):
-        def body(carry, _):
-            st = simulate(carry, mconf, model_fn=lambda pr, p, u, f:
-                          apply_model(pr, mconf, p, u, f), params=params)
-            return st, None
-        sN, _ = jax.lax.scan(body, s0, None, length=n_steps)
-        div = velocity_divergence(sN.u, sN.flags)
-        b = div.shape[0]
-        return jnp.mean(jnp.sqrt(jnp.sum(div.reshape(b, -1) ** 2,
-                                         axis=1)))
-
-    return float(roll(s, state.params))
+    return float(_rollout_div(s, state.params, mconf, n_steps))
 
 
 def run_training(conf, argv_done=True):
@@ -222,6 +245,32 @@ def run_training(conf, argv_done=True):
             pass
         return float("nan")
 
+    # EMA of the params for rollout selection (conf.ema_decay > 0):
+    # persisted each epoch to <model>_ema so chunked/resumed training
+    # keeps its average.
+    ema = None
+    if conf.ema_decay > 0:
+        ema = {"params": state.params, "decay": float(conf.ema_decay)}
+        if conf.load_model and os.path.isdir(model_path + "_ema"):
+            ema_state, _, _ = load_checkpoint(model_path + "_ema", state)
+            ema["params"] = ema_state.params
+
+    def _sample_n_for(epoch):
+        """Horizon curriculum (conf.horizon_schedule): the active
+        (epoch_at, lo, hi) triple, sampled with the reference's
+        probability split (run_epoch.lua:254-257)."""
+        if not conf.horizon_schedule:
+            return None
+        lo, hi = mconf.long_term_div_num_steps
+        for ep_at, l, h in conf.horizon_schedule:
+            if epoch >= ep_at:
+                lo, hi = int(l), int(h)
+        def sample():
+            if py_rng.random() <= mconf.long_term_div_probability:
+                return lo
+            return hi
+        return sample
+
     base_lr = mconf.optim.learning_rate
     prev_lr = None
     for epoch in range(start_epoch, conf.max_epochs):
@@ -242,7 +291,9 @@ def run_training(conf, argv_done=True):
         t0 = time.time()
         if conf.train:
             state, tr_m, key = _epoch(tr_loader, state, mconf, key, py_rng,
-                                      True, max_batches)
+                                      True, max_batches,
+                                      sample_n=_sample_n_for(epoch),
+                                      ema=ema)
         else:
             tr_m = {k: 0.0 for k in ("total", "p", "u", "div",
                                      "long_term_div")}
@@ -253,13 +304,20 @@ def run_training(conf, argv_done=True):
         rollout_div = float("nan")
         if conf.rollout_select_steps and conf.eval_during_training and \
                 mconf.sim_method == "convnet":
-            rollout_div = _rollout_metric(te_loader, state, mconf,
+            sel_state = state if ema is None else \
+                state.__class__(params=ema["params"],
+                                opt_state=state.opt_state, step=state.step)
+            rollout_div = _rollout_metric(te_loader, sel_state, mconf,
                                           conf.rollout_select_steps)
             if rollout_div < best_rollout:
                 best_rollout = rollout_div
-                save_checkpoint(model_path + "_bestRollout", state, mconf,
-                                {"epoch": epoch + 1,
-                                 "rollout_div": rollout_div})
+                save_checkpoint(model_path + "_bestRollout", sel_state,
+                                mconf, {"epoch": epoch + 1,
+                                        "rollout_div": rollout_div,
+                                        "ema": ema is not None})
+            if ema is not None:
+                save_checkpoint(model_path + "_ema", sel_state, mconf,
+                                {"epoch": epoch + 1})
         dt_ep = time.time() - t0
         print(f"epoch {epoch}: train {tr_m['total']:.4e} "
               f"(div {tr_m['div']:.4e}, lt {tr_m['long_term_div']:.4e}) | "

@@ -171,6 +171,18 @@ class Config:
     seed: int = 1
     # lrEpochMults pairs; empty == never (default has epoch=inf).
     lr_epoch_mults: Tuple[Tuple[int, float], ...] = ()
+    # Exponential moving average of the params, updated per step; the
+    # rollout-selection metric and the _bestRollout checkpoint use the
+    # EMA weights (they average away the per-batch noise that one-step
+    # selection rides). 0 disables. The reference has no counterpart —
+    # long-rollout stability is this rebuild's north-star clause.
+    ema_decay: float = 0.0
+    # Unroll-horizon curriculum for the long-term divergence loss:
+    # (epoch_at, lo, hi) triples — from epoch_at onward, the horizon is
+    # sampled as lo w.p. long_term_div_probability else hi
+    # (run_epoch.lua:254-257 semantics with epoch-dependent steps).
+    # Empty == use mconf.long_term_div_num_steps for every epoch.
+    horizon_schedule: Tuple[Tuple[int, int, int], ...] = ()
     new_model: ModelConfig = ModelConfig()
 
     def replace(self, **kw) -> "Config":

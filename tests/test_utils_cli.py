@@ -146,13 +146,17 @@ def test_train_cli_smoke(tmp_path):
                      seed=0, size_xyz=(16, 16, 1), is_3d=False, n_frames=8,
                      max_iter=60)
     conf = conf.replace(rollout_select_steps=4,
+                        ema_decay=0.9,                      # EMA selection
+                        horizon_schedule=((0, 1, 1), (1, 1, 2)),  # curriculum
                         new_model=conf.new_model.replace(
                             long_term_div_num_steps=(1, 2),
                             time_scale_sigma=0.0))
     run_training(conf)
     assert os.path.isdir(os.path.join(conf.model_dir, "m_lastEpoch"))
-    # Rollout-stability model selection writes its own checkpoint.
+    # Rollout-stability model selection writes its own checkpoint, and
+    # the EMA average persists for chunked/resumed training.
     assert os.path.isdir(os.path.join(conf.model_dir, "m_bestRollout"))
+    assert os.path.isdir(os.path.join(conf.model_dir, "m_ema"))
     from fluidnet_tpu.utils.logger import read_log
     names, rows = read_log(os.path.join(conf.model_dir, "m_log.tsv"))
     assert len(rows) == 2
