@@ -55,12 +55,66 @@ def _ema_update(ema, params, decay):
         lambda e, p: e * decay + p * (1.0 - decay), ema, params)
 
 
+def _sample_future(py_rng, mconf, sample_n):
+    if mconf.long_term_div_lambda <= 0:
+        return 0
+    if sample_n is not None:
+        return sample_n()
+    return sample_future_steps(py_rng, mconf)
+
+
+def _epoch_fused(loader, state, mconf, key, py_rng, training,
+                 max_batches=0, sample_n=None, ema=None, check_every=16):
+    """Device-resident epoch: ONE async dispatch per batch (gather + step
+    + EMA + metric sums fused into the jit, train.train_step_fused);
+    metrics cross the tunnel once per `check_every` batches. This is the
+    production path on the remote-attached TPU — the per-call epoch is
+    dispatch-bound there (~1.4 s/step measured vs ~0.1 s device time)."""
+    from fluidnet_tpu.train.train import (eval_step_fused, metric_sums_init,
+                                          train_step_fused)
+    from fluidnet_tpu.utils.pbar import progress
+
+    key, epoch_key = jax.random.split(key)
+    sums = metric_sums_init()
+    ema_params = ema["params"] if ema is not None else state.params
+    decay = jnp.asarray(ema["decay"] if ema is not None else 0.0)
+    n_total = (len(loader.dataset) + loader.batch_size - 1) // \
+        loader.batch_size
+    if max_batches:
+        n_total = min(n_total, max_batches)
+    n = 0
+    for idx in loader.epoch_indices(max_batches=max_batches):
+        n_future = _sample_future(py_rng, mconf, sample_n)
+        if training:
+            state, ema_params, sums = train_step_fused(
+                state, ema_params, loader.dev, sums, jnp.asarray(idx),
+                epoch_key, decay, mconf, n_future)
+        else:
+            sums = eval_step_fused(
+                state.params, loader.dev, jnp.asarray(idx), sums,
+                epoch_key, jnp.asarray(n), mconf, n_future)
+        n += 1
+        if n % check_every == 0 or n == n_total:
+            t = float(sums["total"])
+            if not np.isfinite(t) or t > 1e9 * n:
+                raise RuntimeError(
+                    f"criterion error is NaN or > 1e9 (sum {t} at {n})")
+            progress(n, n_total, f"err={t / n:.4e}")
+    if ema is not None:
+        ema["params"] = ema_params
+    out = {k: float(v) / max(n, 1) for k, v in sums.items()}
+    return state, out, key
+
+
 def _epoch(loader, state, mconf, key, py_rng, training, max_batches=0,
            sample_n=None, ema=None):
     """One pass over the loader. `sample_n()` overrides the horizon
     sampling (epoch curriculum); `ema` is a dict {'params', 'decay'}
     updated in place after every training step."""
     from fluidnet_tpu.utils.pbar import progress
+    if isinstance(loader, DeviceDataset):
+        return _epoch_fused(loader, state, mconf, key, py_rng, training,
+                            max_batches, sample_n, ema)
     sums = {}
     n = 0
     n_total = (len(loader.dataset) + loader.batch_size - 1) // \
@@ -71,12 +125,7 @@ def _epoch(loader, state, mconf, key, py_rng, training, max_batches=0,
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("p_div", "u_div", "flags", "p_target", "u_target",
                            "density")}
-        if mconf.long_term_div_lambda <= 0:
-            n_future = 0
-        elif sample_n is not None:
-            n_future = sample_n()
-        else:
-            n_future = sample_future_steps(py_rng, mconf)
+        n_future = _sample_future(py_rng, mconf, sample_n)
         key, sub = jax.random.split(key)
         if training:
             state, terms = train_step(state, jbatch, sub, mconf, n_future)

@@ -195,8 +195,10 @@ class DeviceDataset:
                 self.dev[k] = upd(self.dev[k], jnp.asarray(host[k]),
                                   jnp.asarray(lo))
 
-    def epoch(self, drop_last=False, max_batches=0):
-        import jax.numpy as jnp
+    def epoch_indices(self, drop_last=False, max_batches=0):
+        """Yields per-batch index arrays only — for the fused epoch path,
+        which gathers on device inside the training-step jit (one host
+        dispatch per batch instead of one per field + one per step)."""
         n = self.dev[next(iter(self.dev))].shape[0]
         order = self.rng.permutation(n) if self.shuffle else np.arange(n)
         chunks = [order[i:i + self.batch_size]
@@ -205,7 +207,11 @@ class DeviceDataset:
             chunks = [c for c in chunks if len(c) == self.batch_size]
         if max_batches:
             chunks = chunks[:max_batches]
-        for c in chunks:
+        yield from chunks
+
+    def epoch(self, drop_last=False, max_batches=0):
+        import jax.numpy as jnp
+        for c in self.epoch_indices(drop_last, max_batches):
             idx = jnp.asarray(c)
             yield {k: jnp.take(v, idx, axis=0)
                    for k, v in self.dev.items()}, c

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fluidnet_tpu.ops.pallas.warp import (_interpret, _round_up,
-                                          DEFAULT_SLICES_PER_PROGRAM)
+                                          slices_per_program)
 
 _VEC3_EPS = 1e-6
 _HALO = 3          # out <- force(+-1) <- grad|w|(+-1) <- curl(cent(+-1))
@@ -176,7 +176,7 @@ def _vc_pallas_impl(u, flags, amp):
         pads = ((0, 0),) * 3 + ((0, Yp - Y), (0, Xp - X))
         u = jnp.pad(u, pads)
         flags = jnp.pad(flags, pads, constant_values=2)  # obstacle
-    S = min(DEFAULT_SLICES_PER_PROGRAM, Z)
+    S = min(slices_per_program(), Z)
     Zs = _round_up(Z, S)
     n = S + 2 * _HALO
     # Sources must cover one full DMA window; the interior masks (keyed
@@ -401,7 +401,7 @@ def _fb_pallas_impl(u, flags, density, scal7):
         u = jnp.pad(u, pads)
         density = jnp.pad(density, pads)
         flags = jnp.pad(flags, pads, constant_values=2)
-    S = min(DEFAULT_SLICES_PER_PROGRAM, Z)
+    S = min(slices_per_program(), Z)
     Zs = _round_up(Z, S)
     n = S + 2 * _FB_HALO
     Zsrc = max(Zs, n)

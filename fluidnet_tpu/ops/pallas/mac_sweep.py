@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from fluidnet_tpu.ops.pallas.warp import (_corner_weights, _interpret,
                                           _round_up,
                                           _warp_transpose_pallas,
-                                          DEFAULT_SLICES_PER_PROGRAM)
+                                          slices_per_program)
 
 _EPS = 1e-3
 _BIG = 1e30
@@ -341,7 +341,7 @@ def _sweep_impl(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
         srcs = [jnp.pad(f, fpads) for f in srcs]
         free = jnp.pad(free, fpads)
 
-    S = min(DEFAULT_SLICES_PER_PROGRAM, Z)
+    S = min(slices_per_program(), Z)
     Zs = _round_up(Z, S)
     zclamped = Zs == Z and Z >= S + 2 * W and S >= W
     if not zclamped:

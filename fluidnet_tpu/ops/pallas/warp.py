@@ -50,10 +50,18 @@ DEFAULT_WINDOW = 2
 # Output slices per Pallas program (z-block height). Larger S amortizes
 # the per-program halo DMA ((S+2W)/S overhead) and lets rolled source
 # planes serve more outputs; smaller S bounds VMEM. Env override for
-# perf experiments (read once at import).
+# perf experiments AND for the CPU interpret-mode tests (the unrolled
+# kernel body scales with S x (2W+1)^3; at W=2 the S=4 interpret-mode
+# lowering takes XLA:CPU >25 min to compile, S=1 is ~4x smaller) — read
+# at call time so tests can set it per case.
 import os as _os
-DEFAULT_SLICES_PER_PROGRAM = int(_os.environ.get(
-    "FLUIDNET_SLICES_PER_PROGRAM", "4"))
+
+
+def slices_per_program() -> int:
+    return int(_os.environ.get("FLUIDNET_SLICES_PER_PROGRAM", "4"))
+
+
+DEFAULT_SLICES_PER_PROGRAM = slices_per_program()  # back-compat snapshot
 
 
 def _interpret():
@@ -499,7 +507,7 @@ def _warp_transpose_pallas(g, px, py, pz, window, nearest):
         py = jnp.pad(py, ppads, constant_values=0.5)
         pz = jnp.pad(pz, ppads, constant_values=0.5)
 
-    S = min(DEFAULT_SLICES_PER_PROGRAM, Z) if Z > 1 else 1
+    S = min(slices_per_program(), Z) if Z > 1 else 1
     Zs = _round_up(Z, S)
     zclamped = Z > 1 and Zs == Z and Z >= S + 2 * W and S >= W
     pos = jnp.stack([px, py, pz], axis=2)           # (b, G, 3, Z, Yp, Xp)
@@ -605,7 +613,7 @@ def _warp_group_impl(fields, px, py, pz, window, nearest, minmax=False):
 
     # S output slices per program share the rolled source planes of their
     # overlapping z-windows (see _warp_group_kernel).
-    S = min(DEFAULT_SLICES_PER_PROGRAM, Z) if Z > 1 else 1
+    S = min(slices_per_program(), Z) if Z > 1 else 1
     Zs = _round_up(Z, S)
     # When every program's clamped window fits the domain, skip the z-pad
     # entirely (it is a full-field copy per call) — the kernel clamps its

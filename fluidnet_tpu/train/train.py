@@ -296,6 +296,64 @@ def eval_step(batch, params, key, mconf: ModelConfig, n_future: int):
     return terms
 
 
+# --- Fused device-side epoch steps -------------------------------------------
+#
+# On a remote-attached TPU every host->device dispatch and device->host
+# read rides the tunnel (~100-300 ms latency); an epoch driven as
+# [gather] + [train_step] + [key split] + [metrics float()] per batch is
+# dispatch-bound, not compute-bound (measured 1.4 s/step against ~0.1 s
+# of device time at 64^3 B=8). These variants fuse the batch gather (from
+# the HBM-resident DeviceDataset arrays), the PRNG fold-in, the EMA
+# update and the metric accumulation into the SAME jit as the step, so
+# the host issues ONE async call per batch and reads metrics once per K
+# batches.
+
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(lambda x, y: x + y, a, b)
+
+
+def metric_sums_init(extra=("grad_norm",)):
+    keys = ("total", "p", "u", "div", "long_term_div") + tuple(extra)
+    return {k: jnp.zeros(()) for k in keys}
+
+
+@partial(jax.jit, static_argnames=("mconf", "n_future"),
+         donate_argnums=(0, 1, 3))
+def train_step_fused(state: TrainState, ema_params, dev_data, sums,
+                     idx, key, ema_decay, mconf: ModelConfig,
+                     n_future: int):
+    """One fused training step: batch = dev_data[idx] (on-device gather),
+    per-step key = fold_in(key, state.step), EMA update, metric sums.
+    Returns (state, ema_params, sums). `ema_decay` 0 keeps ema == params
+    in the same graph (exact copy), so one executable serves both modes.
+    """
+    batch = {k: jnp.take(v, idx, axis=0) for k, v in dev_data.items()}
+    sub = jax.random.fold_in(key, state.step)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (_, terms), grads = grad_fn(state.params, batch, sub, mconf, n_future)
+    opt = make_optimizer(mconf)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    terms["grad_norm"] = optax.global_norm(grads)
+    state = TrainState(params=params, opt_state=opt_state,
+                       step=state.step + 1)
+    ema_params = jax.tree_util.tree_map(
+        lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+        ema_params, state.params)
+    sums = _tree_add(sums, {k: terms[k] for k in sums})
+    return state, ema_params, sums
+
+
+@partial(jax.jit, static_argnames=("mconf", "n_future"), donate_argnums=(3,))
+def eval_step_fused(params, dev_data, idx, sums, key, step_i,
+                    mconf: ModelConfig, n_future: int):
+    batch = {k: jnp.take(v, idx, axis=0) for k, v in dev_data.items()}
+    sub = jax.random.fold_in(key, step_i)
+    _, terms = loss_fn(params, batch, sub, mconf, n_future)
+    terms["grad_norm"] = jnp.zeros(())
+    return _tree_add(sums, {k: terms[k] for k in sums})
+
+
 def make_train_step(mconf: ModelConfig):
     def fn(state, batch, key, n_future):
         return train_step(state, batch, key, mconf, n_future)

@@ -32,6 +32,43 @@ def rss_mb():
     return float("nan")
 
 
+def _run_fused(args, loader, state, key, mconf):
+    """One async dispatch per batch; metrics read once per `--every`."""
+    import jax.numpy as jnp
+    from fluidnet_tpu.train.train import metric_sums_init, train_step_fused
+
+    sums = metric_sums_init()
+    ema = state.params
+    decay = jnp.asarray(0.999)
+    t0 = time.time()
+    n = 0
+    rss_hist = []
+    it = iter(loader.epoch_indices())
+    while n < args.steps:
+        try:
+            idx = next(it)
+        except StopIteration:
+            it = iter(loader.epoch_indices())
+            idx = next(it)
+        state, ema, sums = train_step_fused(
+            state, ema, loader.dev, sums, jnp.asarray(idx), key, decay,
+            mconf, args.n_future)
+        n += 1
+        if n % args.every == 0:
+            t = float(sums["total"])
+            assert np.isfinite(t), f"NaN at step {n}"
+            gc.collect()
+            r = rss_mb()
+            rss_hist.append(r)
+            print(f"step {n:4d}  RSS {r:8.0f} MB  "
+                  f"{(time.time() - t0) / n * 1e3:6.1f} ms/step  "
+                  f"loss-avg {t / n:.3e}", flush=True)
+    if len(rss_hist) >= 2:
+        drift = (rss_hist[-1] - rss_hist[0]) / \
+            (args.steps - args.every) * 1000
+        print(f"RSS drift: {drift:.1f} MB / 1k steps", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
@@ -39,6 +76,8 @@ def main():
     ap.add_argument("--no-metrics", action="store_true")
     ap.add_argument("--no-gather", action="store_true")
     ap.add_argument("--static-key", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="drive train_step_fused (one dispatch per batch)")
     ap.add_argument("--n-future", type=int, default=1)
     ap.add_argument("--dataset", default="gen3d_v5")
     ap.add_argument("--batch", type=int, default=8)
@@ -69,6 +108,10 @@ def main():
 
     state = init_train_state(jax.random.PRNGKey(0), mconf)
     key = jax.random.PRNGKey(1)
+
+    if args.fused:
+        _run_fused(args, loader, state, key, mconf)
+        return
 
     batches = loader.epoch()
     fixed = next(batches)[0] if args.no_gather else None

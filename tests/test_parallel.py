@@ -64,6 +64,43 @@ def test_batch_sharded_train_step():
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_z_sharded_advect_w2_multiplane_halo(monkeypatch):
+    """W=2 (advection_window=2) exchanges TWO-plane halos across the sp
+    axis — a failure mode the W=1 cases cannot catch (a bug that reads
+    only 1 halo plane is invisible at W=1). Z=16 over n_sp=2 gives
+    8-plane shards with 2-plane windows spanning the cut.
+
+    Runs at FLUIDNET_SLICES_PER_PROGRAM=1: XLA:CPU takes >25 min to
+    compile the interpret-mode W=2 kernel body at the production S=4
+    (it scales with S x (2W+1)^3); S=1 compiles in ~1 min and covers
+    identical halo semantics."""
+    monkeypatch.setenv("FLUIDNET_SLICES_PER_PROGRAM", "1")
+    from fluidnet_tpu.ops.advect_fast import (advect_scalar_fast,
+                                              advect_vel_fast)
+    from fluidnet_tpu.parallel.advect_sharded import advect_step_z_sharded
+    rng = np.random.default_rng(83)
+    B, Z, Y, X = 1, 16, 12, 16
+    W = 2
+    flags = np.asarray(empty_domain((B, 1, Z, Y, X), True)).copy()
+    flags[..., 6:10, 4:8, 5:9] = 2       # obstacle spanning the shard cut
+    flags = jnp.asarray(flags)
+    u = jnp.asarray(rng.standard_normal((B, 3, Z, Y, X)) * 1.6, jnp.float32)
+    rho = jnp.asarray(rng.random((B, 1, Z, Y, X)), jnp.float32)
+    dt = 0.8   # CFL ~1.3: displacements actually use the second plane
+
+    u_ref = advect_vel_fast(dt, u, flags, "maccormackOurs", 0.6, W)
+    d_ref = advect_scalar_fast(dt, rho, u, flags, "maccormackOurs", False,
+                               0.6, W)
+
+    mesh = make_mesh(n_dp=1, n_sp=2)
+    u_sh, d_sh = advect_step_z_sharded(dt, u, rho, flags, mesh,
+                                       "maccormackOurs", 0.6, W)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               atol=1e-5)
+
+
 @pytest.mark.parametrize("method", ["maccormack", "maccormackOurs"])
 def test_z_sharded_advect_matches_unsharded(method):
     """shard_map halo-exchange advection (the 256^3 stretch path): the
