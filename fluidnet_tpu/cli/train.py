@@ -224,6 +224,7 @@ def run_training(conf, argv_done=True):
             # (torch.copyTrainingMconfParams, model.lua:499-523).
             mconf = mconf_loaded.replace(
                 grad_norm_threshold=mconf.grad_norm_threshold,
+                loss_reject_threshold=mconf.loss_reject_threshold,
                 loss_p_lambda=mconf.loss_p_lambda,
                 loss_u_lambda=mconf.loss_u_lambda,
                 loss_div_lambda=mconf.loss_div_lambda,
@@ -237,6 +238,9 @@ def run_training(conf, argv_done=True):
             mconf = mconf_loaded
         start_epoch = int(extra.get("epoch", 0))
         best_loss = float(extra.get("best_loss", float("inf")))
+        # Restore the rollout-selection best too, or a chunked/resumed run
+        # would let a worse epoch overwrite <model>_bestRollout.
+        best_rollout = float(extra.get("best_rollout", float("inf")))
         print(f"==> Resumed from epoch {start_epoch}")
 
     save_parameters(conf, model_path + "_conf.json")
@@ -299,7 +303,10 @@ def run_training(conf, argv_done=True):
     # keeps its average.
     ema = None
     if conf.ema_decay > 0:
-        ema = {"params": state.params, "decay": float(conf.ema_decay)}
+        # Copy: the fused step donates params and ema_params separately;
+        # aliasing them (fresh start) is a double-donation error.
+        ema = {"params": jax.tree_util.tree_map(jnp.copy, state.params),
+               "decay": float(conf.ema_decay)}
         if conf.load_model and os.path.isdir(model_path + "_ema"):
             ema_state, _, _ = load_checkpoint(model_path + "_ema", state)
             ema["params"] = ema_state.params
@@ -325,7 +332,20 @@ def run_training(conf, argv_done=True):
     for epoch in range(start_epoch, conf.max_epochs):
         import gc
         gc.collect()
-        print(f"    [host RSS {_rss_gb():.1f} GB]")
+        rss = _rss_gb()
+        print(f"    [host RSS {rss:.1f} GB]")
+        if conf.max_host_rss_gb and epoch > start_epoch and \
+                rss > conf.max_host_rss_gb:
+            # Graceful chunk boundary: everything through epoch-1 is
+            # already checkpointed (_lastEpoch/_ema/_bestRollout), so a
+            # clean exit here loses nothing; the chunked driver restarts
+            # a fresh process that resumes. Never let the kernel
+            # OOM-killer do this — it wedges the TPU tunnel (round-3
+            # post-mortem, docs/STATUS.md).
+            print(f"==> host RSS {rss:.1f} GB > max_host_rss_gb "
+                  f"{conf.max_host_rss_gb}; exiting for chunk restart "
+                  f"at epoch {epoch}")
+            return state, mconf
         # lrEpochMults (run_epoch.lua:40-48); computed from scratch each
         # epoch so resume replays every past multiplier.
         lr = base_lr
@@ -368,14 +388,17 @@ def run_training(conf, argv_done=True):
                 save_checkpoint(model_path + "_ema", sel_state, mconf,
                                 {"epoch": epoch + 1})
         dt_ep = time.time() - t0
+        rej = tr_m.get("rejected", 0.0)
         print(f"epoch {epoch}: train {tr_m['total']:.4e} "
               f"(div {tr_m['div']:.4e}, lt {tr_m['long_term_div']:.4e}) | "
               f"test {te_m['total']:.4e} | rollout||div|| "
-              f"{rollout_div:.3e} | {dt_ep:.1f}s")
+              f"{rollout_div:.3e} | {dt_ep:.1f}s"
+              + (f" | REJECTED {rej:.1%} of updates" if rej > 0 else ""))
         logger.add([epoch, tr_m["total"], tr_m["p"], tr_m["u"], tr_m["div"],
                     tr_m["long_term_div"], te_m["total"], te_m["p"],
                     te_m["u"], te_m["div"], te_m["long_term_div"]])
-        extra = {"epoch": epoch + 1, "best_loss": best_loss}
+        extra = {"epoch": epoch + 1, "best_loss": best_loss,
+                 "best_rollout": best_rollout}
         save_checkpoint(model_path + "_lastEpoch", state, mconf, extra)
         if te_m["total"] < best_loss:
             best_loss = te_m["total"]

@@ -127,6 +127,15 @@ class ModelConfig:
     augment_without_targets: bool = False
 
     grad_norm_threshold: float = 1.0
+    # Reject-bad-update guard: a training step whose total loss is
+    # non-finite or exceeds this threshold keeps the previous
+    # params/opt-state/EMA (the update is dropped, the batch is counted
+    # in the 'rejected' metric). Norm-clipping alone does NOT defend
+    # against a blown-up unrolled rollout: the clipped gradient of a
+    # garbage loss is a full-length step in a garbage direction, and a
+    # few of those in a row poison the weights (observed in the v5 run:
+    # per-batch err 1e-3 -> 7e+2 within 30 steps). 0 disables.
+    loss_reject_threshold: float = 0.0
     # sgd | adam | adagrad | rmsprop (default_conf.lua:99-107; the
     # reference's lbfgs needs full batches and is intentionally omitted).
     optimization_method: str = "adam"
@@ -183,6 +192,14 @@ class Config:
     # (run_epoch.lua:254-257 semantics with epoch-dependent steps).
     # Empty == use mconf.long_term_div_num_steps for every epoch.
     horizon_schedule: Tuple[Tuple[int, int, int], ...] = ()
+    # Graceful host-RSS ceiling (GB): checked at every epoch boundary;
+    # when exceeded, training checkpoints and exits 0 so a chunked
+    # driver (scripts/train3d_v5.sh) restarts a fresh process that
+    # resumes from <model>_lastEpoch. Defends against the per-step host
+    # RSS growth of the remote-TPU client (docs/STATUS.md): a kernel
+    # OOM-kill both loses the epoch and wedges the device tunnel.
+    # 0 disables.
+    max_host_rss_gb: float = 0.0
     new_model: ModelConfig = ModelConfig()
 
     def replace(self, **kw) -> "Config":

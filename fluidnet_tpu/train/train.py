@@ -276,6 +276,20 @@ def loss_fn(params, batch, key, mconf: ModelConfig, n_future: int,
     return total, terms
 
 
+def _reject_ok(terms, grad_norm, mconf: ModelConfig):
+    """Accept mask for the reject-bad-update guard: loss and grad norm
+    finite, and (when loss_reject_threshold > 0) loss below threshold."""
+    ok = jnp.isfinite(terms["total"]) & jnp.isfinite(grad_norm)
+    if mconf.loss_reject_threshold > 0:
+        ok = ok & (terms["total"] < mconf.loss_reject_threshold)
+    return ok
+
+
+def _select_tree(ok, new, old):
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(ok, n, o), new, old)
+
+
 @partial(jax.jit, static_argnames=("mconf", "n_future"))
 def train_step(state: TrainState, batch, key, mconf: ModelConfig,
                n_future: int):
@@ -286,6 +300,10 @@ def train_step(state: TrainState, batch, key, mconf: ModelConfig,
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     terms["grad_norm"] = optax.global_norm(grads)
+    ok = _reject_ok(terms, terms["grad_norm"], mconf)
+    params = _select_tree(ok, params, state.params)
+    opt_state = _select_tree(ok, opt_state, state.opt_state)
+    terms["rejected"] = 1.0 - ok.astype(jnp.float32)
     return TrainState(params=params, opt_state=opt_state,
                       step=state.step + 1), terms
 
@@ -312,7 +330,7 @@ def _tree_add(a, b):
     return jax.tree_util.tree_map(lambda x, y: x + y, a, b)
 
 
-def metric_sums_init(extra=("grad_norm",)):
+def metric_sums_init(extra=("grad_norm", "rejected")):
     keys = ("total", "p", "u", "div", "long_term_div") + tuple(extra)
     return {k: jnp.zeros(()) for k in keys}
 
@@ -335,12 +353,21 @@ def train_step_fused(state: TrainState, ema_params, dev_data, sums,
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     terms["grad_norm"] = optax.global_norm(grads)
+    ok = _reject_ok(terms, terms["grad_norm"], mconf)
+    params = _select_tree(ok, params, state.params)
+    opt_state = _select_tree(ok, opt_state, state.opt_state)
+    terms["rejected"] = 1.0 - ok.astype(jnp.float32)
     state = TrainState(params=params, opt_state=opt_state,
                        step=state.step + 1)
     ema_params = jax.tree_util.tree_map(
         lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
         ema_params, state.params)
-    sums = _tree_add(sums, {k: terms[k] for k in sums})
+    # Keep the metric sums finite even on rejected batches (a single NaN
+    # would poison the running epoch average the progress guard reads);
+    # the 'rejected' counter discloses every dropped update.
+    safe = {k: jnp.where(jnp.isfinite(terms[k]), terms[k], 0.0)
+            for k in sums}
+    sums = _tree_add(sums, safe)
     return state, ema_params, sums
 
 
@@ -351,6 +378,7 @@ def eval_step_fused(params, dev_data, idx, sums, key, step_i,
     sub = jax.random.fold_in(key, step_i)
     _, terms = loss_fn(params, batch, sub, mconf, n_future)
     terms["grad_norm"] = jnp.zeros(())
+    terms["rejected"] = jnp.zeros(())
     return _tree_add(sums, {k: terms[k] for k in sums})
 
 

@@ -10,7 +10,7 @@ capped at maxIter=34 to match the ConvNet's runtime):
   B. the 128^3 bench plume (the driver's headline scene): same methods,
      128 steps, ||div||_2 at checkpoints + max|U| blow-up check.
 
-Writes TSVs + a comparison figure to docs/figures/ (norm_div_r3_*).
+Writes TSVs + a comparison figure to docs/figures/ (norm_div_{TAG}_*).
 
 Usage: python scripts/eval_r3_final.py [model_ckpt] [--quick]
 """
@@ -24,9 +24,10 @@ import jax
 import jax.numpy as jnp
 
 MODEL = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") \
-    else "data/models/m3d_v4_bestRollout"
+    else "data/models/m3d_v5_bestRollout"
 QUICK = "--quick" in sys.argv
 FIGD = "docs/figures"
+TAG = os.environ.get("EVAL_TAG", "r4")
 
 
 def main():
@@ -52,7 +53,10 @@ def main():
                ("pcg34", dict(sim_method="pcg", max_iter=34))]
 
     # --- A: 64^3 test-scene rollouts -------------------------------------
-    ds = FluidDataset("data/datasets", "gen3d_v4", "te")
+    ds_name = next((d for d in ("gen3d_v5", "gen3d_v4", "gen3d_v3")
+                    if os.path.isdir(os.path.join("data/datasets", d))),
+                   "gen3d_v5")
+    ds = FluidDataset("data/datasets", ds_name, "te")
     batch = ds.get_batch(list(range(4 if QUICK else 8)))
     n_steps = 32 if QUICK else 64
     curves = {}
@@ -64,7 +68,7 @@ def main():
                 return apply_model(pr, mc, p, u, f)
         arr = calc_stats([batch], mc, model_fn, params, n_steps=n_steps,
                          out_path=os.path.join(
-                             FIGD, f"norm_div_r3_{name}.tsv"))
+                             FIGD, f"norm_div_{TAG}_{name}.tsv"))
         curves[name] = arr.mean(axis=0)
         print(f"A {name:12s} ||div|| step1 {arr[:, 0].mean():.4e}  "
               f"mid {arr[:, n_steps // 2].mean():.4e}  "
@@ -83,8 +87,8 @@ def main():
         ax.legend()
         ax.grid(True, alpha=0.3)
         fig.tight_layout()
-        fig.savefig(os.path.join(FIGD, "norm_div_r3_compare.png"), dpi=120)
-        print("figure:", os.path.join(FIGD, "norm_div_r3_compare.png"))
+        fig.savefig(os.path.join(FIGD, f"norm_div_{TAG}_compare.png"), dpi=120)
+        print("figure:", os.path.join(FIGD, f"norm_div_{TAG}_compare.png"))
     except Exception as e:  # matplotlib optional
         print("figure skipped:", e)
 
@@ -127,14 +131,14 @@ def main():
         print(f"B {name:12s} " +
               "  ".join(f"s{i}:{vals[i]:.3e}" for i in marks) +
               f"  max|U| {umax:.3e}")
-    with open(os.path.join(FIGD, "norm_div_r3_plume128.tsv"), "w") as f:
+    with open(os.path.join(FIGD, f"norm_div_{TAG}_plume128.tsv"), "w") as f:
         f.write("method\t" + "\t".join(f"step{i}" for i in marks) +
                 "\tmaxU\n")
         for name, vals, umax in rows:
             f.write(name + "\t" +
                     "\t".join(f"{vals[i]:.6e}" for i in marks) +
                     f"\t{umax:.6e}\n")
-    print("wrote", os.path.join(FIGD, "norm_div_r3_plume128.tsv"))
+    print("wrote", os.path.join(FIGD, f"norm_div_{TAG}_plume128.tsv"))
 
 
 if __name__ == "__main__":
