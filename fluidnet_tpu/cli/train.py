@@ -298,6 +298,18 @@ def run_training(conf, argv_done=True):
             pass
         return float("nan")
 
+    def _malloc_trim():
+        """Return freed-but-retained glibc heap to the kernel. Diagnostic
+        for the ~200 MB/step host RSS growth (the remote-TPU PJRT client
+        is native): if RSS drops here, the 'leak' is heap retention /
+        fragmentation, not live allocations."""
+        try:
+            import ctypes
+            ctypes.CDLL("libc.so.6").malloc_trim(0)
+            return True
+        except OSError:
+            return False
+
     # EMA of the params for rollout selection (conf.ema_decay > 0):
     # persisted each epoch to <model>_ema so chunked/resumed training
     # keeps its average.
@@ -333,7 +345,13 @@ def run_training(conf, argv_done=True):
         import gc
         gc.collect()
         rss = _rss_gb()
-        print(f"    [host RSS {rss:.1f} GB]")
+        if rss > 8.0 and _malloc_trim():
+            rss_t = _rss_gb()
+            print(f"    [host RSS {rss:.1f} GB -> {rss_t:.1f} GB "
+                  f"after malloc_trim]")
+            rss = rss_t
+        else:
+            print(f"    [host RSS {rss:.1f} GB]")
         if conf.max_host_rss_gb and epoch > start_epoch and \
                 rss > conf.max_host_rss_gb:
             # Graceful chunk boundary: everything through epoch-1 is
