@@ -64,12 +64,20 @@ def _sample_future(py_rng, mconf, sample_n):
 
 
 def _epoch_fused(loader, state, mconf, key, py_rng, training,
-                 max_batches=0, sample_n=None, ema=None, check_every=16):
+                 max_batches=0, sample_n=None, ema=None, check_every=16,
+                 scan_epoch=False):
     """Device-resident epoch: ONE async dispatch per batch (gather + step
     + EMA + metric sums fused into the jit, train.train_step_fused);
     metrics cross the tunnel once per `check_every` batches. This is the
     production path on the remote-attached TPU — the per-call epoch is
-    dispatch-bound there (~1.4 s/step measured vs ~0.1 s device time)."""
+    dispatch-bound there (~1.4 s/step measured vs ~0.1 s device time).
+
+    With `scan_epoch`, the whole epoch runs as ONE on-device lax.scan per
+    horizon group (train.train_epoch_scan): host cost — and the remote
+    client's ~200 MB-per-dispatch RSS growth — drops from O(batches) to
+    O(1) per epoch. Batches are grouped by sampled unroll horizon (a
+    static arg) and batch length; grouping reorders batches within the
+    already-shuffled epoch, which is statistically neutral."""
     from fluidnet_tpu.train.train import (eval_step_fused, metric_sums_init,
                                           train_step_fused)
     from fluidnet_tpu.utils.pbar import progress
@@ -82,6 +90,38 @@ def _epoch_fused(loader, state, mconf, key, py_rng, training,
         loader.batch_size
     if max_batches:
         n_total = min(n_total, max_batches)
+
+    if scan_epoch:
+        from fluidnet_tpu.train.train import (eval_epoch_scan,
+                                              train_epoch_scan)
+        groups = {}
+        for idx in loader.epoch_indices(max_batches=max_batches):
+            nf = _sample_future(py_rng, mconf, sample_n)
+            groups.setdefault((nf, len(idx)), []).append(idx)
+        n = 0
+        step0 = 0
+        for (nf, _blen), idxs in sorted(groups.items()):
+            mat = jnp.asarray(np.stack(idxs))
+            if training:
+                state, ema_params, sums = train_epoch_scan(
+                    state, ema_params, loader.dev, sums, mat, epoch_key,
+                    decay, mconf, nf)
+            else:
+                sums = eval_epoch_scan(state.params, loader.dev, mat,
+                                       sums, epoch_key,
+                                       jnp.asarray(step0), mconf, nf)
+            n += len(idxs)
+            step0 += len(idxs)
+            t = float(sums["total"])
+            if not np.isfinite(t) or t > 1e9 * n:
+                raise RuntimeError(
+                    f"criterion error is NaN or > 1e9 (sum {t} at {n})")
+            progress(n, n_total, f"err={t / n:.4e}")
+        if ema is not None:
+            ema["params"] = ema_params
+        out = {k: float(v) / max(n, 1) for k, v in sums.items()}
+        return state, out, key
+
     n = 0
     for idx in loader.epoch_indices(max_batches=max_batches):
         n_future = _sample_future(py_rng, mconf, sample_n)
@@ -107,14 +147,15 @@ def _epoch_fused(loader, state, mconf, key, py_rng, training,
 
 
 def _epoch(loader, state, mconf, key, py_rng, training, max_batches=0,
-           sample_n=None, ema=None):
+           sample_n=None, ema=None, scan_epoch=False):
     """One pass over the loader. `sample_n()` overrides the horizon
     sampling (epoch curriculum); `ema` is a dict {'params', 'decay'}
     updated in place after every training step."""
     from fluidnet_tpu.utils.pbar import progress
     if isinstance(loader, DeviceDataset):
         return _epoch_fused(loader, state, mconf, key, py_rng, training,
-                            max_batches, sample_n, ema)
+                            max_batches, sample_n, ema,
+                            scan_epoch=scan_epoch)
     sums = {}
     n = 0
     n_total = (len(loader.dataset) + loader.batch_size - 1) // \
@@ -188,6 +229,16 @@ def _rollout_metric(te_loader, state, mconf, n_steps):
 
 
 def run_training(conf, argv_done=True):
+    # Persistent XLA compile cache: chunked training restarts a fresh
+    # process every few epochs (host-RSS bound); a warm cache makes the
+    # restart recompile nothing.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or \
+        os.path.abspath(".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     mconf = conf.new_model
     np.random.seed(conf.seed)
     py_rng = random.Random(conf.seed)
@@ -380,14 +431,15 @@ def run_training(conf, argv_done=True):
             state, tr_m, key = _epoch(tr_loader, state, mconf, key, py_rng,
                                       True, max_batches,
                                       sample_n=_sample_n_for(epoch),
-                                      ema=ema)
+                                      ema=ema, scan_epoch=conf.epoch_scan)
         else:
             tr_m = {k: 0.0 for k in ("total", "p", "u", "div",
                                      "long_term_div")}
         te_m = tr_m
         if conf.eval_during_training:
             _, te_m, key = _epoch(te_loader, state, mconf, key, py_rng,
-                                  False, max_batches)
+                                  False, max_batches,
+                                  scan_epoch=conf.epoch_scan)
         rollout_div = float("nan")
         if conf.rollout_select_steps and conf.eval_during_training and \
                 mconf.sim_method == "convnet":

@@ -167,6 +167,11 @@ class Config:
     # threaded host loader when the dataset exceeds the budget.
     device_data_cache: bool = True
     device_data_cache_max_gb: float = 8.0
+    # Run each train/eval epoch as ONE on-device lax.scan per unroll-
+    # horizon group (train.train_epoch_scan) instead of one dispatch per
+    # batch. Requires the device data cache. Host cost (and the remote
+    # TPU client's per-dispatch RSS growth) becomes O(1) per epoch.
+    epoch_scan: bool = True
     profile: bool = True
     resume_training: bool = False
     # Long-horizon model selection: every epoch, roll one held-out batch
