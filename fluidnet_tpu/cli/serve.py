@@ -27,6 +27,7 @@ jitted config swap executables exactly like demo2d's scripted toggles.
 import argparse
 import json
 import struct
+import sys
 import threading
 import time
 import zlib
@@ -49,6 +50,28 @@ from fluidnet_tpu.utils.checkpoint import load_checkpoint, load_mconf
 _TOGGLE_ALIASES = {"vorticity": "vorticity_confinement_amp",
                    "buoyancy": "buoyancy_scale", "gravity": "gravity_scale",
                    "advection": "advection_method"}
+
+# Toggleable mconf fields (canonical names). Anything else is rejected at
+# the HTTP layer with a 400 — a bad key/value must never reach the sim
+# thread, where an uncaught exception would kill the loop and leave the
+# server serving one stale frame forever.
+_TOGGLE_FIELDS = frozenset((
+    "plume", "sim_method", "advection_method", "dt", "max_iter",
+    "maccormack_strength", "buoyancy_scale", "gravity_scale",
+    "vorticity_confinement_amp", "polish_iters"))
+_STRING_FIELDS = frozenset(("sim_method", "advection_method"))
+
+
+def validate_toggle(k: str, v: str) -> None:
+    """Raises ValueError unless (k, v) is a toggle _apply can execute."""
+    k = _TOGGLE_ALIASES.get(k, k)
+    if k not in _TOGGLE_FIELDS:
+        raise ValueError(f"unknown toggle key {k!r}")
+    if k == "plume" or k in _STRING_FIELDS:
+        return
+    if v in ("cycle", "half", "double"):
+        return
+    float(v)  # numeric field: must parse (raises ValueError otherwise)
 
 PAGE = """<!doctype html>
 <html><head><title>fluidnet_tpu live demo</title><style>
@@ -215,7 +238,13 @@ class DemoSim:
             with self.lock:
                 pending, self.queue = self.queue, []
             for kind, payload in pending:
-                self._apply(kind, payload)
+                # Defense in depth behind validate_toggle: the sim thread
+                # must survive any bad interaction (log and keep running).
+                try:
+                    self._apply(kind, payload)
+                except Exception as e:
+                    print(f"serve: ignoring bad {kind} {payload}: {e}",
+                          file=sys.stderr)
             m = self.mconf
             self.state = self.step(
                 self.state, self.params, self.bcs, jnp.asarray(m.dt),
@@ -269,6 +298,7 @@ def make_handler(sim: DemoSim):
                     sim.enqueue("splat", {k: float(q[k])
                                           for k in ("x", "y", "fx", "fy")})
                 elif u.path == "/toggle":
+                    validate_toggle(q["k"], q["v"])
                     sim.enqueue("toggle", {"k": q["k"], "v": q["v"]})
                 else:
                     return self._send(404, "text/plain", b"not found")

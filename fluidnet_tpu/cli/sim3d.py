@@ -70,7 +70,8 @@ def run(args):
     mconf = mconf.replace(
         dt=0.1, buoyancy_scale=2.0 * (res / 128.0),
         vorticity_confinement_amp=3.0, maccormack_strength=0.6,
-        advection_method="maccormackOurs", max_iter=args.max_iter)
+        advection_method="maccormackOurs", max_iter=args.max_iter,
+        pcg_tol=args.pcg_tol, polish_iters=args.polish_iters)
 
     state, bcs = build_scene(res, args.voxel_model or None)
 
@@ -134,6 +135,11 @@ def main(argv=None):
     ap.add_argument("--sim_method", default="convnet",
                     choices=["convnet", "jacobi", "pcg"])
     ap.add_argument("--max_iter", type=int, default=34)
+    ap.add_argument("--pcg_tol", type=float, default=1e-4,
+                    help="pcg residual tolerance (pTol, default_conf.lua)")
+    ap.add_argument("--polish_iters", type=int, default=0,
+                    help="hybrid Jacobi polish sweeps after the convnet "
+                    "projection (ModelConfig.polish_iters)")
     ap.add_argument("--model", default="",
                     help="checkpoint dir of a trained 3-D model")
     ap.add_argument("--voxel_model", default="",

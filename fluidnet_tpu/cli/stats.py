@@ -37,6 +37,11 @@ def main(argv=None):
     ap.add_argument("--max_iter", type=int, default=34,
                     help="matched-cost solver iterations "
                     "(fluid_net_3d_sim.lua:80)")
+    ap.add_argument("--pcg_tol", type=float, default=1e-4,
+                    help="pcg residual tolerance (pTol, default_conf.lua)")
+    ap.add_argument("--polish_iters", type=int, default=0,
+                    help="hybrid Jacobi polish sweeps for the convnet "
+                    "method (ModelConfig.polish_iters)")
     ap.add_argument("--out_dir", default="data/output/stats")
     args = ap.parse_args(argv)
 
@@ -56,7 +61,10 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     stats = {}
     for method in args.methods:
-        mc = mconf.replace(sim_method=method, max_iter=args.max_iter)
+        mc = mconf.replace(sim_method=method, max_iter=args.max_iter,
+                           pcg_tol=args.pcg_tol,
+                           polish_iters=(args.polish_iters
+                                         if method == "convnet" else 0))
         model_fn = None
         if method == "convnet":
             if params is None:

@@ -63,6 +63,33 @@ def _sample_future(py_rng, mconf, sample_n):
     return sample_future_steps(py_rng, mconf)
 
 
+def _horizon_list(py_rng, mconf, sample_n, m):
+    """Horizons for m batches with DETERMINISTIC per-horizon counts
+    (round(p*m) short, rest long) and randomized assignment.
+
+    The scan path compiles one executable per (horizon, group-length)
+    pair; per-batch binomial sampling makes nearly every epoch produce a
+    new group length and recompile the expensive unrolled-remat 3-D
+    graph. Fixed counts keep the shapes — and the compile cache — stable
+    across epochs; the reference's 0.9/0.1 split (run_epoch.lua:254-257)
+    is preserved in expectation and exactly in proportion."""
+    if mconf.long_term_div_lambda <= 0:
+        return [0] * m
+    if sample_n is not None and hasattr(sample_n, "lo"):
+        lo, hi, p = sample_n.lo, sample_n.hi, sample_n.p
+    elif sample_n is not None:
+        # Opaque sampler (no lo/hi metadata): fall back to per-batch
+        # draws — correctness over compile-cache stability.
+        return [sample_n() for _ in range(m)]
+    else:
+        lo, hi = mconf.long_term_div_num_steps
+        p = mconf.long_term_div_probability
+    n_lo = int(round(p * m))
+    out = [lo] * n_lo + [hi] * (m - n_lo)
+    py_rng.shuffle(out)
+    return out
+
+
 def _epoch_fused(loader, state, mconf, key, py_rng, training,
                  max_batches=0, sample_n=None, ema=None, check_every=16,
                  scan_epoch=False):
@@ -84,7 +111,12 @@ def _epoch_fused(loader, state, mconf, key, py_rng, training,
 
     key, epoch_key = jax.random.split(key)
     sums = metric_sums_init()
-    ema_params = ema["params"] if ema is not None else state.params
+    # Copy when EMA is off: state.params and ema_params occupy SEPARATE
+    # donated slots (donate_argnums=(0, 1)) of the fused/scan steps —
+    # aliasing the same buffers into both is a runtime INVALID_ARGUMENT
+    # double-donation error on the first step.
+    ema_params = ema["params"] if ema is not None else \
+        jax.tree_util.tree_map(jnp.copy, state.params)
     decay = jnp.asarray(ema["decay"] if ema is not None else 0.0)
     n_total = (len(loader.dataset) + loader.batch_size - 1) // \
         loader.batch_size
@@ -94,28 +126,48 @@ def _epoch_fused(loader, state, mconf, key, py_rng, training,
     if scan_epoch:
         from fluidnet_tpu.train.train import (eval_epoch_scan,
                                               train_epoch_scan)
+        # Group batches by (horizon, batch-length). Horizon counts are
+        # deterministic per epoch (_horizon_list) so each group's
+        # (n_batches, B) scan shape is identical every epoch — one
+        # compiled executable per curriculum phase per horizon, not one
+        # per epoch. Grouping first by length keeps the one possible
+        # remainder batch in its own stable group.
+        by_len = {}
+        for i, idx in enumerate(loader.epoch_indices(
+                max_batches=max_batches)):
+            by_len.setdefault(len(idx), []).append((i, idx))
         groups = {}
-        for idx in loader.epoch_indices(max_batches=max_batches):
-            nf = _sample_future(py_rng, mconf, sample_n)
-            groups.setdefault((nf, len(idx)), []).append(idx)
+        for blen, lst in sorted(by_len.items()):
+            nfs = _horizon_list(py_rng, mconf, sample_n, len(lst))
+            for nf, (i, idx) in zip(nfs, lst):
+                groups.setdefault((nf, blen), []).append((i, idx))
         n = 0
-        step0 = 0
-        for (nf, _blen), idxs in sorted(groups.items()):
-            mat = jnp.asarray(np.stack(idxs))
+        for (nf, _blen), pairs in sorted(groups.items()):
+            mat = jnp.asarray(np.stack([idx for _, idx in pairs]))
+            # Original loader batch indices: the eval scan folds these
+            # into the RNG so per-batch eval randomness matches the
+            # non-scan path exactly (metric comparability across modes).
+            orig_i = jnp.asarray(np.array([i for i, _ in pairs],
+                                          np.int32))
             if training:
                 state, ema_params, sums = train_epoch_scan(
                     state, ema_params, loader.dev, sums, mat, epoch_key,
                     decay, mconf, nf)
             else:
                 sums = eval_epoch_scan(state.params, loader.dev, mat,
-                                       sums, epoch_key,
-                                       jnp.asarray(step0), mconf, nf)
-            n += len(idxs)
-            step0 += len(idxs)
+                                       sums, epoch_key, orig_i, mconf, nf)
+            n += len(pairs)
             t = float(sums["total"])
             if not np.isfinite(t) or t > 1e9 * n:
                 raise RuntimeError(
                     f"criterion error is NaN or > 1e9 (sum {t} at {n})")
+            rej = float(sums.get("rejected", 0.0))
+            if training and n >= 8 and rej / n > 0.5:
+                raise RuntimeError(
+                    f"update-reject guard dropped {rej:.0f}/{n} batches "
+                    "(>50%): the run has diverged past the "
+                    "loss_reject_threshold — aborting the epoch instead "
+                    "of silently freezing the params")
             progress(n, n_total, f"err={t / n:.4e}")
         if ema is not None:
             ema["params"] = ema_params
@@ -388,11 +440,26 @@ def run_training(conf, argv_done=True):
             if py_rng.random() <= mconf.long_term_div_probability:
                 return lo
             return hi
+        # Metadata for the scan path's deterministic horizon counts
+        # (_horizon_list): stable group shapes across epochs.
+        sample.lo, sample.hi = lo, hi
+        sample.p = mconf.long_term_div_probability
         return sample
 
     base_lr = mconf.optim.learning_rate
     prev_lr = None
+    t_start = time.time()
     for epoch in range(start_epoch, conf.max_epochs):
+        if conf.max_wall_s and epoch > start_epoch and \
+                time.time() - t_start > conf.max_wall_s:
+            # Graceful wall-clock boundary (same contract as the RSS cap
+            # below): everything through epoch-1 is checkpointed; exit 0
+            # so a driver can resume — never SIGTERM a mid-step process
+            # on the remote TPU (it wedges the tunnel, docs/STATUS.md).
+            print(f"==> wall clock {time.time() - t_start:.0f}s > "
+                  f"max_wall_s {conf.max_wall_s:.0f}; exiting cleanly "
+                  f"at epoch {epoch}")
+            return state, mconf
         import gc
         gc.collect()
         rss = _rss_gb()

@@ -59,6 +59,8 @@ class ModelConfig:
     gravity: Optional[Tuple[float, float, float]] = None
     sim_method: str = "convnet"            # convnet|jacobi|pcg
     max_iter: int = 100                    # jacobi/pcg iterations in simulate
+    pcg_tol: float = 1e-4                  # pcg residual tol (pTol,
+    #                                        default_conf.lua maxIter/pTol)
     # Hybrid projection (no reference counterpart — a TPU-era improvement):
     # after the ConvNet projection, run N fixed Jacobi correction sweeps on
     # the residual divergence (solve A dp = div(U_convnet), U -= grad dp).
@@ -205,6 +207,13 @@ class Config:
     # OOM-kill both loses the epoch and wedges the device tunnel.
     # 0 disables.
     max_host_rss_gb: float = 0.0
+    # Graceful wall-clock budget (seconds), checked at every epoch
+    # boundary like max_host_rss_gb: when exceeded, training checkpoints
+    # and exits 0 (resumable from <model>_lastEpoch). Lets a scheduled
+    # run release the device cleanly instead of being SIGTERM'd
+    # mid-step, which wedges the remote-TPU tunnel (docs/STATUS.md).
+    # 0 disables.
+    max_wall_s: float = 0.0
     new_model: ModelConfig = ModelConfig()
 
     def replace(self, **kw) -> "Config":
@@ -223,7 +232,7 @@ _SNAKE = {
     "maccormackStrength": "maccormack_strength",
     "buoyancyScale": "buoyancy_scale", "gravityScale": "gravity_scale",
     "vorticityConfinementAmp": "vorticity_confinement_amp",
-    "simMethod": "sim_method", "maxIter": "max_iter",
+    "simMethod": "sim_method", "maxIter": "max_iter", "pTol": "pcg_tol",
     "modelType": "model_type", "addBatchNorm": "add_batch_norm",
     "addPressureSkip": "add_pressure_skip", "nonlinType": "nonlin_type",
     "poolType": "pool_type", "normalizeInput": "normalize_input",

@@ -230,7 +230,8 @@ def simulate(state: FluidState, mconf: ModelConfig,
     else:
         div = velocity_divergence(u, flags)
         if mconf.sim_method == "pcg":
-            p, _ = solve_pcg(flags, div, tol=1e-4, max_iter=mconf.max_iter)
+            p, _ = solve_pcg(flags, div, tol=mconf.pcg_tol,
+                             max_iter=mconf.max_iter)
         elif mconf.sim_method == "jacobi":
             p, _ = solve_jacobi(flags, div, p_tol=0.0,
                                 max_iter=mconf.max_iter)

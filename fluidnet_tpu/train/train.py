@@ -278,11 +278,14 @@ def loss_fn(params, batch, key, mconf: ModelConfig, n_future: int,
 
 def _reject_ok(terms, grad_norm, mconf: ModelConfig):
     """Accept mask for the reject-bad-update guard: loss and grad norm
-    finite, and (when loss_reject_threshold > 0) loss below threshold."""
-    ok = jnp.isfinite(terms["total"]) & jnp.isfinite(grad_norm)
-    if mconf.loss_reject_threshold > 0:
-        ok = ok & (terms["total"] < mconf.loss_reject_threshold)
-    return ok
+    finite and below loss_reject_threshold. A threshold of 0 DISABLES
+    the guard entirely (every update applies) — a non-finite loss then
+    flows into the metric sums and trips the epoch driver's fail-fast
+    NaN check, instead of being silently dropped for the whole run."""
+    if mconf.loss_reject_threshold <= 0:
+        return jnp.asarray(True)
+    return (jnp.isfinite(terms["total"]) & jnp.isfinite(grad_norm)
+            & (terms["total"] < mconf.loss_reject_threshold))
 
 
 def _select_tree(ok, new, old):
@@ -356,11 +359,17 @@ def _train_core(state: TrainState, ema_params, dev_data, sums,
     ema_params = jax.tree_util.tree_map(
         lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
         ema_params, state.params)
-    # Keep the metric sums finite even on rejected batches (a single NaN
-    # would poison the running epoch average the progress guard reads);
-    # the 'rejected' counter discloses every dropped update.
-    safe = {k: jnp.where(jnp.isfinite(terms[k]), terms[k], 0.0)
-            for k in sums}
+    # With the reject guard active, keep the metric sums finite on
+    # rejected batches (a single NaN would poison the running epoch
+    # average); the 'rejected' counter discloses every dropped update
+    # and the epoch driver aborts past 50% rejected. With the guard
+    # DISABLED (threshold 0) the raw terms flow through so a NaN loss
+    # trips the driver's fail-fast check immediately.
+    if mconf.loss_reject_threshold > 0:
+        safe = {k: jnp.where(jnp.isfinite(terms[k]), terms[k], 0.0)
+                for k in sums}
+    else:
+        safe = {k: terms[k] for k in sums}
     sums = _tree_add(sums, safe)
     return state, ema_params, sums
 
@@ -422,15 +431,21 @@ def eval_step_fused(params, dev_data, idx, sums, key, step_i,
 
 
 @partial(jax.jit, static_argnames=("mconf", "n_future"), donate_argnums=(3,))
-def eval_epoch_scan(params, dev_data, idx_mat, sums, key, step0,
+def eval_epoch_scan(params, dev_data, idx_mat, sums, key, batch_idx,
                     mconf: ModelConfig, n_future: int):
-    """Whole eval pass as one on-device scan (see train_epoch_scan)."""
-    def body(carry, idx):
-        sm, i = carry
-        sm = _eval_core(params, dev_data, idx, sm, key, i, mconf, n_future)
-        return (sm, i + 1), None
+    """Whole eval pass as one on-device scan (see train_epoch_scan).
 
-    (sums, _), _ = jax.lax.scan(body, (sums, step0), idx_mat)
+    `batch_idx` (n_batches,) carries each batch's ORIGINAL loader index:
+    the per-batch RNG folds that in, so eval losses are bit-identical
+    between epoch_scan on/off regardless of how grouping reordered the
+    batches (the fused per-call path folds the loader index the same
+    way)."""
+    def body(sm, scanned):
+        idx, i = scanned
+        sm = _eval_core(params, dev_data, idx, sm, key, i, mconf, n_future)
+        return sm, None
+
+    sums, _ = jax.lax.scan(body, sums, (idx_mat, batch_idx))
     return sums
 
 

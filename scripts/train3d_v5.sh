@@ -41,6 +41,11 @@ cd "$(dirname "$0")/.."
 
 MAX_EPOCHS=${MAX_EPOCHS:-36}
 MAX_RSS_GB=${MAX_RSS_GB:-72}
+# Optional wall-clock budget for the WHOLE chunked run (seconds): each
+# chunk gets the remaining budget as conf.max_wall_s (clean epoch-boundary
+# exit; resumable), and the chunk loop stops once the deadline passes.
+MAX_WALL_S=${MAX_WALL_S:-0}
+T_START=$(date +%s)
 
 current_epoch() {
   python - <<'EOF'
@@ -53,10 +58,16 @@ EOF
 
 run_chunk() {
   local resume=$1
+  local wall_args=()
+  if [ "$MAX_WALL_S" -gt 0 ]; then
+    local left=$((MAX_WALL_S - ($(date +%s) - T_START)))
+    [ "$left" -le 60 ] && return 0
+    wall_args=(-max_wall_s "$left")
+  fi
   python -m fluidnet_tpu.cli.train \
     -dataset gen3d_v5 -model_filename m3d_v5 -batch_size 8 \
     -max_epochs "$MAX_EPOCHS" -seed 17 -profile false \
-    -max_host_rss_gb "$MAX_RSS_GB" \
+    -max_host_rss_gb "$MAX_RSS_GB" "${wall_args[@]}" \
     -load_model "$resume" -resume_training "$resume" \
     -rollout_select_steps 64 \
     -ema_decay 0.999 \
@@ -85,6 +96,12 @@ while [ "$epoch" -lt "$MAX_EPOCHS" ]; do
        "rss cap ${MAX_RSS_GB} GB)"
   run_chunk "$resume"
   new_epoch=$(current_epoch)
+  if [ "$MAX_WALL_S" -gt 0 ] && \
+     [ $(($(date +%s) - T_START)) -ge $((MAX_WALL_S - 60)) ]; then
+    echo "==> wall budget ${MAX_WALL_S}s reached at epoch $new_epoch;" \
+         "stopping cleanly (resume later from _lastEpoch)"
+    break
+  fi
   if [ "$new_epoch" -le "$epoch" ]; then
     echo "==> ERROR: epoch did not advance ($epoch -> $new_epoch); aborting"
     exit 1

@@ -8,6 +8,14 @@ import os
 # setting os.environ here is NOT enough; jax.config.update below is what
 # actually forces the CPU backend.
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Interpret-mode compile-time control: the windowed Pallas kernels compile
+# a body that scales with S x (2W+1)^3; at the production S=4 the
+# interpret-mode lowering takes XLA:CPU tens of minutes (test_sim3d_cli_smoke
+# alone >9.5 min; passes in ~3.5 min at S=1). Pin S=1 for the whole suite;
+# individual perf experiments can still override the env explicitly.
+os.environ.setdefault("FLUIDNET_SLICES_PER_PROGRAM", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,3 +29,10 @@ jax.config.update("jax_enable_x64", False)
 assert jax.default_backend() == "cpu", (
     "tests must run on the CPU backend, got " + jax.default_backend())
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute CLI/integration smokes (deselect with "
+        "-m 'not slow'; `make test` runs everything)")

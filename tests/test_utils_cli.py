@@ -121,6 +121,7 @@ def test_demo2d_runtime_toggles(tmp_path):
     assert len(pngs) == 4
 
 
+@pytest.mark.slow
 def test_sim3d_cli_smoke(tmp_path):
     from fluidnet_tpu.cli.sim3d import main
     out = str(tmp_path / "sim3d")
@@ -131,6 +132,7 @@ def test_sim3d_cli_smoke(tmp_path):
     assert dims == (16, 16, 16)
 
 
+@pytest.mark.slow
 def test_train_cli_smoke(tmp_path):
     """Tiny end-to-end training run through the CLI harness: generates a
     dataset, trains 2 epochs, writes checkpoints + logs."""
