@@ -43,9 +43,30 @@ def main(argv=None):
                     help="hybrid Jacobi polish sweeps for the convnet "
                     "method (ModelConfig.polish_iters)")
     ap.add_argument("--out_dir", default="data/output/stats")
+    ap.add_argument("--dataset_stats", action="store_true",
+                    help="instead of rollouts, dump per-field stats + "
+                    "histograms of the dataset (data_binary.lua:265-354,"
+                    "467-556)")
     args = ap.parse_args(argv)
 
     ds = FluidDataset(args.data_dir, args.dataset, "te")
+
+    if args.dataset_stats:
+        import json
+        from fluidnet_tpu.utils.plots import plot_histogram
+        os.makedirs(args.out_dir, exist_ok=True)
+        st = ds.field_stats()
+        print(json.dumps(st, indent=2))
+        with open(os.path.join(args.out_dir, "dataset_stats.json"),
+                  "w") as f:
+            json.dump(st, f, indent=2)
+        for field in ("u_div", "p_div", "density"):
+            counts, edges = ds.histogram(field)
+            out = os.path.join(args.out_dir, f"hist_{field}.png")
+            plot_histogram(counts, edges, out, title=field)
+            print("wrote", out)
+        return
+
     batch = ds.get_batch(list(range(min(args.n_samples, len(ds)))))
 
     params = None

@@ -30,11 +30,21 @@ DIV_SCREEN_THRESHOLD = 1e-2  # data_binary.lua:29
 
 class FluidDataset:
     def __init__(self, data_dir, dataset, split="tr", ignore_frames=0,
-                 screen_divergent_runs=True, cache=True):
+                 screen_divergent_runs=True, cache=True, disk_cache=False,
+                 disk_cache_compress=False):
+        """disk_cache: persist each processed (target, divergent) sample
+        pair to <run>/__cache__/<frame>.npz on first read and load from
+        there afterwards — the reference's per-frame processed-frame cache
+        (data_binary.lua:190-228). disk_cache_compress swaps in zlib
+        compression (np.savez_compressed), the stand-in for the
+        reference's optional ZFP path (data_binary.lua:27-28,218-220);
+        fluid fields compress ~2-3x losslessly."""
         self.root = os.path.join(data_dir, dataset, split)
         if not os.path.isdir(self.root):
             raise FileNotFoundError(self.root)
         self.cache = {} if cache else None
+        self.disk_cache = disk_cache
+        self.disk_cache_compress = disk_cache_compress
         self.samples = []  # list of (run_dir, frame_base_path)
         self.is_3d = None
 
@@ -69,23 +79,79 @@ class FluidDataset:
         div = velocity_divergence(jnp.asarray(d["U"]), jnp.asarray(d["flags"]))
         return float(abs(np.asarray(div)).max()) > DIV_SCREEN_THRESHOLD
 
+    def _disk_cache_path(self, run_dir, fname):
+        return os.path.join(run_dir, "__cache__", fname[:-4] + ".npz")
+
     def _load(self, run_dir, fname):
         key = (run_dir, fname)
         if self.cache is not None and key in self.cache:
             return self.cache[key]
-        tgt = load_manta_file(os.path.join(run_dir, fname))
-        div = load_manta_file(os.path.join(run_dir,
-                                           fname[:-4] + "_divergent.bin"))
-        sample = {
-            "p_div": div["p"], "u_div": div["U"], "density": div["density"],
-            "flags": tgt["flags"],
-            "p_target": tgt["p"], "u_target": tgt["U"],
-            "density_target": tgt["density"],
-            "is_3d": tgt["is_3d"],
-        }
+        sample = None
+        if self.disk_cache:
+            cpath = self._disk_cache_path(run_dir, fname)
+            if os.path.exists(cpath):
+                try:
+                    with np.load(cpath) as z:
+                        sample = {k: z[k] for k in z.files
+                                  if k != "is_3d"}
+                        sample["is_3d"] = bool(z["is_3d"])
+                except Exception:
+                    sample = None    # corrupt cache entry: re-derive
+        if sample is None:
+            tgt = load_manta_file(os.path.join(run_dir, fname))
+            div = load_manta_file(
+                os.path.join(run_dir, fname[:-4] + "_divergent.bin"))
+            sample = {
+                "p_div": div["p"], "u_div": div["U"],
+                "density": div["density"],
+                "flags": tgt["flags"],
+                "p_target": tgt["p"], "u_target": tgt["U"],
+                "density_target": tgt["density"],
+                "is_3d": tgt["is_3d"],
+            }
+            if self.disk_cache:
+                cpath = self._disk_cache_path(run_dir, fname)
+                os.makedirs(os.path.dirname(cpath), exist_ok=True)
+                save = np.savez_compressed if self.disk_cache_compress \
+                    else np.savez
+                tmp = cpath + ".tmp.npz"   # atomic publish (threaded reads)
+                save(tmp, **sample)
+                os.replace(tmp, cpath)
         if self.cache is not None:
             self.cache[key] = sample
         return sample
+
+    def field_stats(self, fields=("p_div", "u_div", "density"),
+                    max_samples=64):
+        """Per-field mean/std/min/max over (up to) max_samples samples —
+        the reference's dataset statistics pass (data_binary.lua:265-354).
+        Returns {field: {mean, std, min, max}}."""
+        n = min(len(self), max_samples)
+        step = max(1, len(self) // n)
+        acc = {f: [] for f in fields}
+        for i in range(0, len(self), step):
+            it = self._load(*self.samples[i])
+            for f in fields:
+                acc[f].append(np.asarray(it[f], np.float64))
+        out = {}
+        for f, arrs in acc.items():
+            a = np.stack(arrs)
+            out[f] = {"mean": float(a.mean()), "std": float(a.std()),
+                      "min": float(a.min()), "max": float(a.max())}
+        return out
+
+    def histogram(self, field="u_div", bins=64, value_range=None,
+                  max_samples=64):
+        """Histogram of a field's values over the dataset
+        (data_binary.lua:467-556's gnuplot histograms, sans gnuplot).
+        Returns (counts, bin_edges); plot with utils.plots.plot_histogram.
+        """
+        n = min(len(self), max_samples)
+        step = max(1, len(self) // n)
+        vals = [np.asarray(self._load(*self.samples[i])[field]).ravel()
+                for i in range(0, len(self), step)]
+        return np.histogram(np.concatenate(vals), bins=bins,
+                            range=value_range)
 
     def __len__(self):
         return len(self.samples)

@@ -58,3 +58,25 @@ def plot_norm_div(stats_by_name, out_path):
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def plot_histogram(counts, edges, out_path, title="", logy=True):
+    """Dataset value-distribution bar plot (data_binary.lua:532-556's
+    gnuplot histograms); feed from FluidDataset.histogram()."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    edges = np.asarray(edges)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    ax.bar(centers, np.asarray(counts),
+           width=float(edges[1] - edges[0]) * 0.95)
+    if logy:
+        ax.set_yscale("log")
+    ax.set_xlabel("value")
+    ax.set_ylabel("count")
+    if title:
+        ax.set_title(title)
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

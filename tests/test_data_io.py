@@ -65,6 +65,42 @@ def test_generate_and_load_dataset(tmp_path):
     assert float(jnp.abs(d_t).max()) < 1e-3
 
 
+def test_disk_cache_roundtrip_and_stats(tmp_path):
+    """Per-frame processed disk cache (data_binary.lua:190-228) with the
+    zlib-compressed variant (:27-28), plus the dataset stats/histogram
+    helpers (:265-354,467-556)."""
+    import os
+    root = str(tmp_path / "ds")
+    generate_dataset(root, n_tr=1, n_te=0, seed=3, size_xyz=(16, 16, 1),
+                     is_3d=False, n_frames=3, max_iter=40)
+    ref = FluidDataset(str(tmp_path), "ds", "tr", cache=False)
+    b_ref = ref.get_batch([0, 1, 2])
+
+    for compress in (False, True):
+        # First pass writes the cache files, second pass reads them.
+        ds1 = FluidDataset(str(tmp_path), "ds", "tr", cache=False,
+                           disk_cache=True, disk_cache_compress=compress)
+        _ = ds1.get_batch([0, 1, 2])
+        run_dir = ds1.samples[0][0]
+        cdir = os.path.join(run_dir, "__cache__")
+        assert len([f for f in os.listdir(cdir) if f.endswith(".npz")]) == 3
+        ds2 = FluidDataset(str(tmp_path), "ds", "tr", cache=False,
+                           disk_cache=True, disk_cache_compress=compress)
+        b2 = ds2.get_batch([0, 1, 2])
+        for k in ("p_div", "u_div", "flags", "p_target", "u_target",
+                  "density"):
+            np.testing.assert_array_equal(b2[k], b_ref[k])
+
+    st = ref.field_stats()
+    assert set(st) == {"p_div", "u_div", "density"}
+    assert all(np.isfinite(list(v.values())).all() for v in st.values())
+    counts, edges = ref.histogram("u_div", bins=16)
+    assert counts.sum() == 3 * 2 * 16 * 16  # 3 frames x 2 comps x 16^2
+    from fluidnet_tpu.utils.plots import plot_histogram
+    out = plot_histogram(counts, edges, str(tmp_path / "h.png"), "u_div")
+    assert os.path.getsize(out) > 0
+
+
 def test_prefetch_loader_delivers_every_sample_once(tmp_path):
     """The torch.DataParallel invariant (test_data_parallel.lua:37-60)."""
     root = str(tmp_path / "ds")
