@@ -55,7 +55,7 @@ _BIG = 1e30
 
 
 def _sweep_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
-                  is_bwd, with_scalar, renorm, zclamped):
+                  is_bwd, with_scalar, renorm, zclamped, vals_bf16=False):
     # Sources (each (b, F_i, Z, Y, X) in HBM):
     #   fwd sweep: u(3) [, s(1), m(1)]
     #   bwd sweep: u(3) [, m(1)], fwd_u(3) [, fwd_s(1)]
@@ -216,43 +216,55 @@ def _sweep_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
             comp.append(_weights(px, py, pz, k_abs))
         per_s.append(comp)
 
+    # bf16 tap arithmetic (positions/weights were computed in f32 above;
+    # value accumulation stays f32): the tap loop is the kernel's VPU
+    # bound — weights, value planes, rolls, and the min/max bound planes
+    # drop to bfloat16, roughly doubling packed VPU throughput for a
+    # ~1e-3 relative rounding on warped values (MacCormack-clamped;
+    # drift-gated by tests/test_advect_fast.py::test_bf16_sweep_drift).
+    vdt = jnp.bfloat16 if vals_bf16 else jnp.float32
+    if vals_bf16:
+        per_s = [[tuple([w.astype(vdt) if hasattr(w, "astype") else w
+                         for w in lst] for lst in group)
+                  for group in comp_s] for comp_s in per_s]
+
     I_WU = I_U if not is_bwd else I_FU   # warped velocity source
-    # accumulators
+    # accumulators (value sums in f32 regardless of tap dtype)
     vacc = [[jnp.zeros((Y, X), jnp.float32) for _ in range(3)]
             for _ in range(S)]
-    vmn = [[jnp.full((Y, X), jnp.inf, jnp.float32) for _ in range(3)]
+    vmn = [[jnp.full((Y, X), jnp.inf, vdt) for _ in range(3)]
            for _ in range(S)]
-    vmx = [[jnp.full((Y, X), -jnp.inf, jnp.float32) for _ in range(3)]
+    vmx = [[jnp.full((Y, X), -jnp.inf, vdt) for _ in range(3)]
            for _ in range(S)]
     if with_scalar:
         n_sacc = 3 if renorm else 1      # plain [, num, den]
         sacc = [[jnp.zeros((Y, X), jnp.float32) for _ in range(n_sacc)]
                 for _ in range(S)]
         if not is_bwd:
-            smn = [jnp.full((Y, X), jnp.inf, jnp.float32)
-                   for _ in range(S)]
-            smx = [jnp.full((Y, X), -jnp.inf, jnp.float32)
-                   for _ in range(S)]
+            smn = [jnp.full((Y, X), jnp.inf, vdt) for _ in range(S)]
+            smx = [jnp.full((Y, X), -jnp.inf, vdt) for _ in range(S)]
 
+    big = jnp.asarray(_BIG, vdt)
     for j in range(nsrc):
         svals = [s for s in range(S) if 0 <= j - s <= 2 * W]
         if not svals:
             continue
-        wu = [_scr(I_WU, c, j) for c in range(3)]
-        bu = wu if not is_bwd else [_scr(I_U, c, j) for c in range(3)]
+        wu = [_scr(I_WU, c, j).astype(vdt) for c in range(3)]
+        bu = wu if not is_bwd else \
+            [_scr(I_U, c, j).astype(vdt) for c in range(3)]
         if with_scalar:
-            m_pl = _scr(I_M, 0, j)
+            m_pl = _scr(I_M, 0, j).astype(vdt)
             if not is_bwd:
-                s_pl = _scr(I_S, 0, j)
+                s_pl = _scr(I_S, 0, j).astype(vdt)
             else:
-                s_pl = _scr(I_FS, 0, j)
+                s_pl = _scr(I_FS, 0, j).astype(vdt)
             planes_s = [s_pl]
             if renorm:
                 planes_s += [s_pl * m_pl, m_pl]
             if not is_bwd:
                 if renorm:
-                    bmin_pl = jnp.where(m_pl > 0.5, s_pl, _BIG)
-                    bmax_pl = jnp.where(m_pl > 0.5, s_pl, -_BIG)
+                    bmin_pl = jnp.where(m_pl > 0.5, s_pl, big)
+                    bmax_pl = jnp.where(m_pl > 0.5, s_pl, -big)
                 else:
                     bmin_pl = bmax_pl = s_pl
         for oyi, oy in enumerate(range(-W, W + 1)):
