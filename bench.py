@@ -76,6 +76,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: the bench shares executables with the
+    # perf scripts and its own retry process (first 128^3 compile is
+    # ~2-4 min; warm runs compile nothing). Host-scoped (see
+    # fluidnet_tpu/utils/compile_cache.py).
+    from fluidnet_tpu.utils import compile_cache
+    compile_cache.enable()
+
     from fluidnet_tpu.core.config import ModelConfig
     from fluidnet_tpu.core.grids import FluidState, empty_domain
     from fluidnet_tpu.models.fluidnet import apply_model

@@ -283,14 +283,19 @@ def _rollout_metric(te_loader, state, mconf, n_steps):
 def run_training(conf, argv_done=True):
     # Persistent XLA compile cache: chunked training restarts a fresh
     # process every few epochs (host-RSS bound); a warm cache makes the
-    # restart recompile nothing.
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or \
-        os.path.abspath(".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # restart recompile nothing. Host-scoped (utils/compile_cache.py)
+    # unless the env pins an explicit dir.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+    else:
+        from fluidnet_tpu.utils import compile_cache
+        compile_cache.enable()
     mconf = conf.new_model
     np.random.seed(conf.seed)
     py_rng = random.Random(conf.seed)

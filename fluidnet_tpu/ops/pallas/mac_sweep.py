@@ -218,46 +218,72 @@ def _sweep_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
 
     # bf16 tap arithmetic (positions/weights were computed in f32 above;
     # value accumulation stays f32): the tap loop is the kernel's VPU
-    # bound — weights, value planes, rolls, and the min/max bound planes
-    # drop to bfloat16, roughly doubling packed VPU throughput for a
-    # ~1e-3 relative rounding on warped values (MacCormack-clamped;
-    # drift-gated by tests/test_advect_fast.py::test_bf16_sweep_drift).
+    # bound — the weight products and value multiplies drop to bfloat16
+    # (packed VPU throughput) for a ~1e-3 relative rounding on warped
+    # values (MacCormack-clamped; drift-gated by
+    # tests/test_advect_fast.py::test_bf16_sweep_drift). Two Mosaic
+    # target limits shape the split: dynamic_rotate (roll) and
+    # compare/select are f32-only on this TPU, so the value-plane ROLLS
+    # stay f32 (cast after the innermost roll), and ALL comparison work
+    # — support indicators (> 0.5) and the min/max clamp bounds — stays
+    # f32 end to end.
     vdt = jnp.bfloat16 if vals_bf16 else jnp.float32
     if vals_bf16:
+        # Cast only the weight lists (wx, wy, wz); the support
+        # indicator lists (sx, sy, sz) feed comparisons and stay f32.
         per_s = [[tuple([w.astype(vdt) if hasattr(w, "astype") else w
-                         for w in lst] for lst in group)
+                         for w in lst] if li < 3 else lst
+                        for li, lst in enumerate(group))
                   for group in comp_s] for comp_s in per_s]
+
+    def _vcast(a):
+        return a.astype(vdt) if vals_bf16 else a
+
+    # Boolean per-axis support masks: the tap loop tests support with one
+    # vector-mask AND instead of two f32 multiplies + a compare — each
+    # per-axis indicator is exactly 0 or 1 (ind[o] and ind[o-1] are
+    # mutually exclusive), so (sz*sy*sx) > 0.5 == szb & syb & sxb.
+    # Converted once per (slice, component): 9 compares vs 27+ fused ops
+    # in the tap loop.
+    def _boolify(group):
+        wx, wy, wz, sx, sy, sz = group
+        return (wx, wy, wz,
+                [a > 0.5 for a in sx],
+                [a > 0.5 for a in sy],
+                [a > 0.5 for a in sz])
+    per_s = [[_boolify(g) for g in comp_s] for comp_s in per_s]
 
     I_WU = I_U if not is_bwd else I_FU   # warped velocity source
     # accumulators (value sums in f32 regardless of tap dtype)
     vacc = [[jnp.zeros((Y, X), jnp.float32) for _ in range(3)]
             for _ in range(S)]
-    vmn = [[jnp.full((Y, X), jnp.inf, vdt) for _ in range(3)]
+    vmn = [[jnp.full((Y, X), jnp.inf, jnp.float32) for _ in range(3)]
            for _ in range(S)]
-    vmx = [[jnp.full((Y, X), -jnp.inf, vdt) for _ in range(3)]
+    vmx = [[jnp.full((Y, X), -jnp.inf, jnp.float32) for _ in range(3)]
            for _ in range(S)]
     if with_scalar:
         n_sacc = 3 if renorm else 1      # plain [, num, den]
         sacc = [[jnp.zeros((Y, X), jnp.float32) for _ in range(n_sacc)]
                 for _ in range(S)]
         if not is_bwd:
-            smn = [jnp.full((Y, X), jnp.inf, vdt) for _ in range(S)]
-            smx = [jnp.full((Y, X), -jnp.inf, vdt) for _ in range(S)]
+            smn = [jnp.full((Y, X), jnp.inf, jnp.float32)
+                   for _ in range(S)]
+            smx = [jnp.full((Y, X), -jnp.inf, jnp.float32)
+                   for _ in range(S)]
 
-    big = jnp.asarray(_BIG, vdt)
+    big = jnp.asarray(_BIG, jnp.float32)
     for j in range(nsrc):
         svals = [s for s in range(S) if 0 <= j - s <= 2 * W]
         if not svals:
             continue
-        wu = [_scr(I_WU, c, j).astype(vdt) for c in range(3)]
-        bu = wu if not is_bwd else \
-            [_scr(I_U, c, j).astype(vdt) for c in range(3)]
+        wu = [_scr(I_WU, c, j) for c in range(3)]
+        bu = wu if not is_bwd else [_scr(I_U, c, j) for c in range(3)]
         if with_scalar:
-            m_pl = _scr(I_M, 0, j).astype(vdt)
+            m_pl = _scr(I_M, 0, j)
             if not is_bwd:
-                s_pl = _scr(I_S, 0, j).astype(vdt)
+                s_pl = _scr(I_S, 0, j)
             else:
-                s_pl = _scr(I_FS, 0, j).astype(vdt)
+                s_pl = _scr(I_FS, 0, j)
             planes_s = [s_pl]
             if renorm:
                 planes_s += [s_pl * m_pl, m_pl]
@@ -276,23 +302,40 @@ def _sweep_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
                 if not is_bwd:
                     bn_y = pltpu.roll(bmin_pl, (-oy) % Y, 0)
                     bx_y = pltpu.roll(bmax_pl, (-oy) % Y, 0)
+            # Hoist the z*y weight product and z&y support mask out of
+            # the innermost x loop: per (source slice, oy) they are
+            # fixed, so each of the 2W+1 x-taps pays one multiply (wzy *
+            # wx) and one mask AND instead of two multiplies and a
+            # product+compare.
+            wzy = {}
+            szy = {}
+            for s in svals:
+                ozi = j - s
+                for c in range(n_groups):
+                    wx, wy, wz, sxb, syb, szb = per_s[s][c]
+                    wzy[s, c] = wz[ozi] * wy[oyi]
+                    szy[s, c] = szb[ozi] & syb[oyi]
             for oxi, ox in enumerate(range(-W, W + 1)):
-                wu_v = [pltpu.roll(wu_y[c], (-ox) % X, 1)
+                # f32 rolled planes feed the (f32-only) min/max bound
+                # tracking; a bf16 cast of the same plane feeds the
+                # multiply-accumulate.
+                wu_r = [pltpu.roll(wu_y[c], (-ox) % X, 1)
                         for c in range(3)]
-                bu_v = wu_v if not is_bwd else \
+                wu_v = [_vcast(r) for r in wu_r]
+                bu_v = wu_r if not is_bwd else \
                     [pltpu.roll(bu_y[c], (-ox) % X, 1) for c in range(3)]
                 if with_scalar:
-                    s_v = [pltpu.roll(p, (-ox) % X, 1) for p in s_y]
+                    s_v = [_vcast(pltpu.roll(p, (-ox) % X, 1))
+                           for p in s_y]
                     if not is_bwd:
                         bn_v = pltpu.roll(bn_y, (-ox) % X, 1)
                         bx_v = pltpu.roll(bx_y, (-ox) % X, 1)
                 for s in svals:
-                    ozi = j - s
                     for c in range(3):
-                        wx, wy, wz, sx, sy, sz = per_s[s][c]
-                        wfull = wz[ozi] * wy[oyi] * wx[oxi]
+                        wx, wy, wz, sxb, syb, szb = per_s[s][c]
+                        wfull = wzy[s, c] * wx[oxi]
                         vacc[s][c] = vacc[s][c] + wu_v[c] * wfull
-                        s3 = (sz[ozi] * sy[oyi] * sx[oxi]) > 0.5
+                        s3 = szy[s, c] & sxb[oxi]
                         vmn[s][c] = jnp.where(
                             s3, jnp.minimum(vmn[s][c], bu_v[c]),
                             vmn[s][c])
@@ -300,35 +343,36 @@ def _sweep_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
                             s3, jnp.maximum(vmx[s][c], bu_v[c]),
                             vmx[s][c])
                     if with_scalar:
-                        wx, wy, wz, sx, sy, sz = per_s[s][3]
-                        wfull = wz[ozi] * wy[oyi] * wx[oxi]
+                        wx, wy, wz, sxb, syb, szb = per_s[s][3]
+                        wfull = wzy[s, 3] * wx[oxi]
                         for a in range(n_sacc):
                             sacc[s][a] = sacc[s][a] + s_v[a] * wfull
                         if not is_bwd:
-                            s3 = (sz[ozi] * sy[oyi] * sx[oxi]) > 0.5
+                            s3 = szy[s, 3] & sxb[oxi]
                             smn[s] = jnp.where(
                                 s3, jnp.minimum(smn[s], bn_v), smn[s])
                             smx[s] = jnp.where(
                                 s3, jnp.maximum(smx[s], bx_v), smx[s])
 
+    f32 = jnp.float32
     for s in range(S):
         for c in range(3):
             out_ref[0, c, s] = vacc[s][c]
-            out_ref[0, 3 + c, s] = vmn[s][c]
-            out_ref[0, 6 + c, s] = vmx[s][c]
+            out_ref[0, 3 + c, s] = vmn[s][c].astype(f32)
+            out_ref[0, 6 + c, s] = vmx[s][c].astype(f32)
         if with_scalar:
             base = 9
             for a in range(n_sacc):
                 out_ref[0, base + a, s] = sacc[s][a]
             if not is_bwd:
-                out_ref[0, base + n_sacc, s] = smn[s]
-                out_ref[0, base + n_sacc + 1, s] = smx[s]
+                out_ref[0, base + n_sacc, s] = smn[s].astype(f32)
+                out_ref[0, base + n_sacc + 1, s] = smx[s].astype(f32)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "ours", "renorm",
-                                             "with_scalar"))
+                                             "with_scalar", "vals_bf16"))
 def _sweep_impl(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
-                with_scalar, renorm):
+                with_scalar, renorm, vals_bf16=False):
     """See module docstring. u (b,3,Z,Y,X); s/m/fwd_s (b,1,Z,Y,X) or
     None; fwd_u (b,3,Z,Y,X) or None (None => forward sweep).
     Returns a dict of outputs."""
@@ -372,7 +416,7 @@ def _sweep_impl(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
         functools.partial(_sweep_kernel, W=W, S=S, Z=Z, Y=Yp, X=Xp,
                           Yt=Y, Xt=X, ours=ours, is_bwd=is_bwd,
                           with_scalar=with_scalar, renorm=renorm,
-                          zclamped=zclamped),
+                          zclamped=zclamped, vals_bf16=vals_bf16),
         grid=(b, Zs // S),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -408,17 +452,17 @@ def _sweep_impl(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
     return res
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _sweep(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours, with_scalar,
-           renorm):
+           renorm, vals_bf16=False):
     return _sweep_impl(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
-                       with_scalar, renorm)
+                       with_scalar, renorm, vals_bf16)
 
 
 def _sweep_fwd_rule(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
-                    with_scalar, renorm):
+                    with_scalar, renorm, vals_bf16=False):
     out = _sweep_impl(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
-                      with_scalar, renorm)
+                      with_scalar, renorm, vals_bf16)
     return out, (u, m, fwd_u is not None, free, dcoef)
 
 
@@ -464,7 +508,10 @@ def _positions_xla(u, free, dcoef, window, ours, center=False,
     return jnp.stack(pxs, 1), jnp.stack(pys, 1), jnp.stack(pzs, 1)
 
 
-def _sweep_bwd_rule(window, ours, with_scalar, renorm, res, cots):
+def _sweep_bwd_rule(window, ours, with_scalar, renorm, vals_bf16, res,
+                    cots):
+    # The adjoint always runs in f32 (training gradients are not part of
+    # the bf16 tap-path experiment; the transpose kernel is f32-only).
     u, m, is_bwd, free, dcoef = res
     u_c = jax.lax.stop_gradient(u)
     g_u = cots["u_w"]
@@ -507,17 +554,36 @@ def _sweep_bwd_rule(window, ours, with_scalar, renorm, res, cots):
 _sweep.defvjp(_sweep_fwd_rule, _sweep_bwd_rule)
 
 
+def sweep_values_bf16() -> bool:
+    """Call-time knob (like slices_per_program): bf16 tap arithmetic in
+    the sweep kernels. Measured on TPU v5 lite at 128^3/S=4: 4.95 ms vs
+    4.73 ms f32 — a NET LOSS. Mosaic on this target supports neither
+    bf16 dynamic_rotate nor bf16 compare/select, so rolls, min/max
+    bounds, and support indicators must stay f32; the leftover bf16 work
+    (weight products + value multiplies) is outweighed by the extra
+    f32->bf16 converts after every roll. Default OFF; kept as a gated,
+    drift-tested experiment (tests/test_advect_fast.py::
+    test_bf16_sweep_drift) in case a future target lifts the Mosaic
+    limits."""
+    import os as _os
+    return _os.environ.get("FLUIDNET_SWEEP_BF16", "0") == "1"
+
+
 def advect_sweep(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
-                 with_scalar, renorm):
+                 with_scalar, renorm, vals_bf16=None):
     """Public fused sweep. fwd_u=None => forward sweep (warps u [and s]),
     else backward sweep (warps fwd_u [and fwd_s], bounds from u).
     Returns the output dict of _sweep_impl."""
+    if vals_bf16 is None:
+        vals_bf16 = sweep_values_bf16()
     return _sweep(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
-                  with_scalar, renorm)
+                  with_scalar, renorm, vals_bf16)
 
 
-def mac_vel_sweep(u, fwd, free, dcoef, window, ours):
+def mac_vel_sweep(u, fwd, free, dcoef, window, ours, vals_bf16=None):
     """Velocity-only fused sweep: returns (warped, mn, mx)."""
+    if vals_bf16 is None:
+        vals_bf16 = sweep_values_bf16()
     out = _sweep(u, None, None, fwd, None, free, dcoef, window, ours,
-                 False, False)
+                 False, False, vals_bf16)
     return out["u_w"], out["u_mn"], out["u_mx"]

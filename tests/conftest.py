@@ -16,6 +16,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # individual perf experiments can still override the env explicitly.
 os.environ.setdefault("FLUIDNET_SLICES_PER_PROGRAM", "1")
 
+# Parity tests compare the fused sweeps against the exact reference
+# implementation at tight tolerances: run them with f32 tap arithmetic.
+# The production bf16 tap path has its own drift-budget test
+# (tests/test_advect_fast.py::test_bf16_sweep_drift).
+os.environ.setdefault("FLUIDNET_SWEEP_BF16", "0")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

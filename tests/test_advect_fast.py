@@ -283,6 +283,41 @@ def test_combined_sweep_matches_separate(method, sof):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_bf16_sweep_drift():
+    """Production bf16 tap-arithmetic path (FLUIDNET_SWEEP_BF16): the
+    per-step deviation from the f32 sweep must stay within the bf16
+    rounding budget (clamp bounds keep values in-range; weights sum to 1
+    so the weighted-average error is ~2^-8 relative), and a multi-step
+    rollout must stay bounded and close to the f32 trajectory."""
+    from fluidnet_tpu.ops.advect_fast import advect_vel_scalar_fast
+
+    rng = np.random.default_rng(17)
+    flags, u, s = small_case(rng, True, vel_scale=0.9, p_obstacle=0.1)
+    dt, strength, W = 0.3, 0.6, 1
+
+    def run(bf16, n_steps=4):
+        uu, ss = u, s
+        for _ in range(n_steps):
+            import os
+            os.environ["FLUIDNET_SWEEP_BF16"] = "1" if bf16 else "0"
+            try:
+                ss, uu = advect_vel_scalar_fast(
+                    dt, ss, uu, flags, "maccormackOurs", False, strength,
+                    W)
+            finally:
+                os.environ["FLUIDNET_SWEEP_BF16"] = "0"
+        return np.asarray(ss), np.asarray(uu)
+
+    s32, u32 = run(False)
+    s16, u16 = run(True)
+    assert np.isfinite(u16).all() and np.isfinite(s16).all()
+    # 4-step accumulated drift budget: ~4x the single-step bf16 rounding.
+    scale_u = max(np.abs(u32).max(), 1e-6)
+    scale_s = max(np.abs(s32).max(), 1e-6)
+    assert np.abs(u16 - u32).max() / scale_u < 0.05
+    assert np.abs(s16 - s32).max() / scale_s < 0.05
+
+
 @pytest.mark.parametrize("window", [1, 2])
 def test_warp_transpose_pallas_zclamped(window):
     """Padless (clamped-DMA) transpose path: Z a multiple of the slice
