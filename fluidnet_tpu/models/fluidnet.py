@@ -195,12 +195,25 @@ def _conv(x, p, nd, dilation=1, compute_dtype=jnp.bfloat16):
     return out.astype(jnp.float32) + p["b"].reshape((1, -1) + (1,) * nd)
 
 
+def _trunk_fold_zy() -> bool:
+    """Experimental knob: fold ky AND kz into the conv's output channels
+    (ky*kz*out_c MXU lanes instead of kz*out_c — 72/128 vs 24/128 for
+    the default k3^3 8-channel stages) at the price of a 3x-wider fold
+    intermediate (more HBM traffic in the shift-add). Worth it only if
+    the trunk is MXU-lane-bound rather than HBM-bound; measured via
+    scripts/perf_quick.py with FLUIDNET_TRUNK_FOLD=zy."""
+    import os as _os
+    return _os.environ.get("FLUIDNET_TRUNK_FOLD", "z") == "zy"
+
+
 def _conv_nhwc(h, p, b, Z, dilation=1, compute_dtype=jnp.bfloat16):
     """One conv on a channels-last (b*Z, Y, X, c) slab batch (z-fold form
     for kz > 1, plain 2-D NHWC otherwise); stays in compute_dtype."""
     w = p["w"]
     out_c, in_c = w.shape[:2]
     kz, ky, kx = w.shape[2:]
+    if kz > 1 and ky > 1 and _trunk_fold_zy():
+        return _conv_nhwc_zy(h, p, b, Z, dilation, compute_dtype)
     wl = w.astype(compute_dtype).transpose(3, 4, 1, 2, 0) \
         .reshape(ky, kx, in_c, kz * out_c)
     pad2 = tuple(((k - 1) // 2 * dilation,) * 2 for k in (ky, kx))
@@ -220,6 +233,45 @@ def _conv_nhwc(h, p, b, Z, dilation=1, compute_dtype=jnp.bfloat16):
                                         axis=1)[..., iz, :]
             acc = part if acc is None else acc + part
         y = acc.reshape(b * Z, Y, X, out_c)
+    return y + p["b"].astype(compute_dtype)
+
+
+def _conv_nhwc_zy(h, p, b, Z, dilation, compute_dtype):
+    """zy-fold variant of _conv_nhwc: the conv keeps only the kx spatial
+    extent; (ky, kz) tap pairs become output channels, reduced by a
+    y-shift-add then a z-shift-add. Identical math to _conv_nhwc up to
+    summation order."""
+    w = p["w"]
+    out_c, in_c = w.shape[:2]
+    kz, ky, kx = w.shape[2:]
+    # (O, I, kz, ky, kx) -> (1, kx, I, ky*kz*O): out ch = (iy*kz + iz)*O + o
+    wl = w.astype(compute_dtype).transpose(4, 1, 3, 2, 0) \
+        .reshape(1, kx, in_c, ky * kz * out_c)
+    padx = (kx - 1) // 2 * dilation
+    y = jax.lax.conv_general_dilated(
+        h, wl, window_strides=(1, 1), padding=((0, 0), (padx, padx)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    Yd, X = y.shape[1:3]
+    ypad = (ky - 1) // 2 * dilation
+    # y-fold on the slab batch: out[y] = sum_iy y[y + iy*dil - ypad, iy].
+    y = y.reshape(b * Z, Yd, X, ky, kz * out_c)
+    yp = jnp.pad(y, ((0, 0), (ypad, ypad), (0, 0), (0, 0), (0, 0)))
+    acc = None
+    for iy in range(ky):
+        part = jax.lax.slice_in_dim(yp, iy * dilation, iy * dilation + Yd,
+                                    1, axis=1)[..., iy, :]
+        acc = part if acc is None else acc + part
+    # z-fold: identical to _conv_nhwc's.
+    zpad = (kz - 1) // 2 * dilation
+    y = acc.reshape(b, Z, Yd, X, kz, out_c)
+    yp = jnp.pad(y, ((0, 0), (zpad, zpad)) + ((0, 0),) * 4)
+    acc = None
+    for iz in range(kz):
+        part = jax.lax.slice_in_dim(yp, iz * dilation, iz * dilation + Z,
+                                    1, axis=1)[..., iz, :]
+        acc = part if acc is None else acc + part
+    y = acc.reshape(b * Z, Yd, X, out_c)
     return y + p["b"].astype(compute_dtype)
 
 

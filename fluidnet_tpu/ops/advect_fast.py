@@ -23,6 +23,8 @@ gather path in ops.advect remains available via window=None):
   3. fluid-aware interpolation renormalizes rather than cascades.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -389,9 +391,96 @@ def advect_vel_fast(dt, u, flags, method, maccormack_strength, window,
     return jnp.where(border, dst, clamped)
 
 
+def fused_epilogue_enabled() -> bool:
+    """Call-time knob: move advect_vel_scalar_fast's XLA epilogues
+    (fluid/border masks, renorm combine, MacCormack correction)
+    in-kernel (see mac_sweep.advect_sweep_fused_ep). Gradients always
+    fall back to the unfused composition via _fused_step's custom_vjp,
+    so this is a pure inference-throughput knob."""
+    import os as _os
+    return _os.environ.get("FLUIDNET_FUSED_EPILOGUE", "0") == "1"
+
+
+def _fused_impl(dt, s, u, flags, free, method, sample_outside_fluid,
+                maccormack_strength, window):
+    """Fused-epilogue primal of advect_vel_scalar_fast (maccormackOurs /
+    euler/eulerOurs only): the per-field fluid/border masking, the renorm
+    combine, and the MacCormack correction run inside the sweep kernels;
+    only the final two-direction clamp (which combines both sweeps'
+    bounds) stays in XLA."""
+    from fluidnet_tpu.ops.pallas.mac_sweep import advect_sweep_fused_ep
+    is_3d = check_shapes(u, flags, s)
+    W = int(window)
+    ours = method.endswith("Ours")
+    fl = is_fluid(flags)
+    if ours and free is None:
+        free = chebyshev_free_space(flags, W + 1)
+    free_in = free if ours else None
+    m = fl.astype(s.dtype)
+    renorm = ours and not sample_outside_fluid
+    border = border_mask(flags.shape, is_3d, 1)
+
+    o1 = advect_sweep_fused_ep(u, s, m, None, None, free_in, -dt,
+                               maccormack_strength, W, ours, renorm)
+    fwd_u, fwd_s = o1["u_w"], o1["s_val"]
+    if method in ("euler", "eulerOurs"):
+        return fwd_s, fwd_u
+
+    o2 = advect_sweep_fused_ep(u, s, m, fwd_u, fwd_s, free_in, dt,
+                               maccormack_strength, W, ours, renorm)
+    dst_u, dst_s = o2["u_w"], o2["s_val"]
+    mn = jnp.minimum(o1["u_mn"], o2["u_mn"])
+    mx = jnp.maximum(o1["u_mx"], o2["u_mx"])
+    u_new = jnp.where(border, dst_u, jnp.clip(dst_u, mn, mx))
+    if renorm:
+        have = o1["s_mn"] < 1e29
+        clamped = jnp.where(have, jnp.clip(dst_s, o1["s_mn"], o1["s_mx"]),
+                            fwd_s)
+    else:
+        clamped = jnp.clip(dst_s, o1["s_mn"], o1["s_mx"])
+    s_new = jnp.where(border, dst_s, clamped)
+    return s_new, u_new
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_step(dt, s, u, flags, free, method, sample_outside_fluid,
+                maccormack_strength, window):
+    return _fused_impl(dt, s, u, flags, free, method,
+                       sample_outside_fluid, maccormack_strength, window)
+
+
+def _fused_step_fwd(dt, s, u, flags, free, method, sample_outside_fluid,
+                    maccormack_strength, window):
+    out = _fused_impl(dt, s, u, flags, free, method, sample_outside_fluid,
+                      maccormack_strength, window)
+    return out, (dt, s, u, flags, free)
+
+
+def _fused_step_bwd(method, sample_outside_fluid, maccormack_strength,
+                    window, res, cots):
+    """Gradients via the unfused composition (same function up to fp
+    summation order): the fused kernels emit post-epilogue fields whose
+    adjoint would need a bespoke transpose; recomputing the unfused
+    VJP costs one extra forward — training-only, like the position
+    recompute in mac_sweep's sweep VJP."""
+    dt, s, u, flags, free = res
+
+    def ref(dt_, s_, u_):
+        return advect_vel_scalar_fast(
+            dt_, s_, u_, flags, method, sample_outside_fluid,
+            maccormack_strength, window, free=free, fused_epilogue=False)
+
+    _, vjp = jax.vjp(ref, dt, s, u)
+    g_dt, g_s, g_u = vjp(cots)
+    return g_dt, g_s, g_u, None, None
+
+
+_fused_step.defvjp(_fused_step_fwd, _fused_step_bwd)
+
+
 def advect_vel_scalar_fast(dt, s, u, flags, method, sample_outside_fluid,
                            maccormack_strength, window, free=None,
-                           border=None):
+                           border=None, fused_epilogue=None):
     """Combined scalar + MAC-velocity advection on the fused sweep kernel
     (3-D '...Ours'/euler methods): two pallas_call's total per step — the
     forward sweep warps density AND all three velocity components from
@@ -406,6 +495,12 @@ def advect_vel_scalar_fast(dt, s, u, flags, method, sample_outside_fluid,
     ours = method.endswith("Ours")
     assert method != "maccormack", \
         "manta scalar clamp is not fused; use the separate paths"
+    if fused_epilogue is None:
+        fused_epilogue = fused_epilogue_enabled()
+    if fused_epilogue and method in ("maccormackOurs", "euler",
+                                     "eulerOurs"):
+        return _fused_step(dt, s, u, flags, free, method,
+                           sample_outside_fluid, maccormack_strength, W)
     from fluidnet_tpu.ops.pallas.mac_sweep import advect_sweep
 
     if border is None:

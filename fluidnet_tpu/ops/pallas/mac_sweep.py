@@ -55,12 +55,22 @@ _BIG = 1e30
 
 
 def _sweep_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
-                  is_bwd, with_scalar, renorm, zclamped, vals_bf16=False):
+                  is_bwd, with_scalar, renorm, zclamped, vals_bf16=False,
+                  fuse_ep=False):
     # Sources (each (b, F_i, Z, Y, X) in HBM):
     #   fwd sweep: u(3) [, s(1), m(1)]
-    #   bwd sweep: u(3) [, m(1)], fwd_u(3) [, fwd_s(1)]
+    #   bwd sweep: u(3) [, m(1)], fwd_u(3) [, fwd_s(1)] [, s(1) fuse_ep]
+    #
+    # fuse_ep (production combined path only, with_scalar=True): the XLA
+    # epilogues of advect_vel_scalar_fast move in-kernel — the fwd sweep
+    # emits the fluid/border-masked warped fields directly (incl. the
+    # renorm combine), the bwd sweep emits the MacCormack-corrected
+    # velocity (MacCormackCorrectMAC per-component fluid skips,
+    # tfluids.cc:660-699) and corrected scalar. Saves ~4 full-field XLA
+    # passes per advection step; the final two-direction clamp stays in
+    # XLA (it combines both sweeps' bounds).
     n_src = 1 + (2 if with_scalar else 0) if not is_bwd else \
-        2 + (2 if with_scalar else 0)
+        2 + (2 if with_scalar else 0) + (1 if fuse_ep else 0)
     srcs_hbm = refs[:n_src]
     out_ref = refs[n_src]
     scratches = refs[n_src + 1:2 * n_src + 1]
@@ -85,6 +95,7 @@ def _sweep_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
 
     # source index map
     I_U = 0
+    I_S0 = None                          # original scalar (bwd fuse_ep)
     if not is_bwd:
         I_S, I_M = 1, 2
         I_FU = I_FS = None
@@ -92,6 +103,8 @@ def _sweep_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
         I_M = 1 if with_scalar else None
         I_FU = 2 if with_scalar else 1
         I_FS = 3 if with_scalar else None
+        if fuse_ep:
+            I_S0 = 4
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
@@ -355,30 +368,97 @@ def _sweep_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
                                 s3, jnp.maximum(smx[s], bx_v), smx[s])
 
     f32 = jnp.float32
+    if not fuse_ep:
+        for s in range(S):
+            for c in range(3):
+                out_ref[0, c, s] = vacc[s][c]
+                out_ref[0, 3 + c, s] = vmn[s][c].astype(f32)
+                out_ref[0, 6 + c, s] = vmx[s][c].astype(f32)
+            if with_scalar:
+                base = 9
+                for a in range(n_sacc):
+                    out_ref[0, base + a, s] = sacc[s][a]
+                if not is_bwd:
+                    out_ref[0, base + n_sacc, s] = smn[s].astype(f32)
+                    out_ref[0, base + n_sacc + 1, s] = smx[s].astype(f32)
+        return
+
+    # ---- fused epilogue (with_scalar production path) ----
+    strength = dt_ref[1]
     for s in range(S):
-        for c in range(3):
-            out_ref[0, c, s] = vacc[s][c]
-            out_ref[0, 3 + c, s] = vmn[s][c].astype(f32)
-            out_ref[0, 6 + c, s] = vmx[s][c].astype(f32)
-        if with_scalar:
-            base = 9
-            for a in range(n_sacc):
-                out_ref[0, base + a, s] = sacc[s][a]
-            if not is_bwd:
-                out_ref[0, base + n_sacc, s] = smn[s].astype(f32)
-                out_ref[0, base + n_sacc + 1, s] = smx[s].astype(f32)
+        k_abs = ks * S + s
+        j0 = s + W
+        border_b = ((ii == 0) | (ii == Xt - 1) | (jj == 0) |
+                    (jj == Yt - 1) | (k_abs == 0) | (k_abs == Z - 1))
+        fl_b = _scr(I_M, 0, j0) > 0.5
+        if renorm:
+            den = sacc[s][2]
+            safe = den > 1e-6
+            val = jnp.where(safe, sacc[s][1] / jnp.where(safe, den, 1.0),
+                            sacc[s][0])
+        else:
+            val = sacc[s][0]
+        if not is_bwd:
+            # fwd: masked warped fields + bounds pass-through.
+            s_c = _scr(I_S, 0, j0)
+            for c in range(3):
+                v = vacc[s][c]
+                if ours:
+                    v = jnp.where(fl_b, v, _scr(I_U, c, j0))
+                out_ref[0, c, s] = jnp.where(border_b, 0.0, v)
+                out_ref[0, 3 + c, s] = vmn[s][c].astype(f32)
+                out_ref[0, 6 + c, s] = vmx[s][c].astype(f32)
+            if ours:
+                val = jnp.where(fl_b, val, s_c)
+            out_ref[0, 9, s] = jnp.where(border_b, 0.0, val)
+            out_ref[0, 10, s] = smn[s].astype(f32)
+            out_ref[0, 11, s] = smx[s].astype(f32)
+        else:
+            # bwd: MacCormack-corrected velocity + corrected scalar.
+            # Per-component fluid skips (tfluids.cc:660-699): skip where
+            # the cell or its -axis neighbor is non-fluid; at the low
+            # edge only the cell itself is tested (neighbor fills True).
+            m_c = _scr(I_M, 0, j0)       # roll the f32 mask, not the
+            fl_xm = jnp.where(ii == 0, True,       # bool (32-bit-only
+                              pltpu.roll(m_c, 1, 1) > 0.5)  # rotates)
+            fl_ym = jnp.where(jj == 0, True,
+                              pltpu.roll(m_c, 1, 0) > 0.5)
+            fl_zm = jnp.where(k_abs == 0, True,
+                              _scr(I_M, 0, j0 - 1) > 0.5)
+            skips = (fl_xm, fl_ym, fl_zm)
+            for c in range(3):
+                bwd_c = vacc[s][c]
+                fwd_c = _scr(I_FU, c, j0)
+                if ours:
+                    bwd_c = jnp.where(fl_b, bwd_c, fwd_c)
+                bwd_c = jnp.where(border_b, 0.0, bwd_c)
+                corr = fwd_c + strength * 0.5 * (_scr(I_U, c, j0) - bwd_c)
+                out_ref[0, c, s] = jnp.where(fl_b & skips[c], corr, fwd_c)
+                out_ref[0, 3 + c, s] = vmn[s][c].astype(f32)
+                out_ref[0, 6 + c, s] = vmx[s][c].astype(f32)
+            fwd_s_c = _scr(I_FS, 0, j0)
+            if ours:
+                val = jnp.where(fl_b, val, fwd_s_c)
+            bwd_s = jnp.where(border_b, 0.0, val)
+            dst_s = fwd_s_c + jnp.where(
+                fl_b, strength * 0.5 * (_scr(I_S0, 0, j0) - bwd_s), 0.0)
+            out_ref[0, 9, s] = dst_s
 
 
 @functools.partial(jax.jit, static_argnames=("window", "ours", "renorm",
-                                             "with_scalar", "vals_bf16"))
+                                             "with_scalar", "vals_bf16",
+                                             "fuse_ep"))
 def _sweep_impl(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
-                with_scalar, renorm, vals_bf16=False):
+                with_scalar, renorm, vals_bf16=False, fuse_ep=False,
+                strength=0.0):
     """See module docstring. u (b,3,Z,Y,X); s/m/fwd_s (b,1,Z,Y,X) or
     None; fwd_u (b,3,Z,Y,X) or None (None => forward sweep).
     Returns a dict of outputs."""
     W = int(window)
     b, _, Z, Y, X = u.shape
     is_bwd = fwd_u is not None
+    if fuse_ep:
+        assert with_scalar, "fused epilogue is the combined path only"
     srcs = [u]
     if with_scalar and not is_bwd:
         srcs += [s, m]
@@ -388,6 +468,8 @@ def _sweep_impl(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
         srcs += [fwd_u]
         if with_scalar:
             srcs += [fwd_s]
+        if fuse_ep:
+            srcs += [s]                  # original scalar for dst_s
     if free is None:
         free = jnp.zeros((b, 1, Z, Y, X), jnp.float32)
 
@@ -408,15 +490,20 @@ def _sweep_impl(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
         free = jnp.pad(free, ((0, 0), (0, 0), (0, Zs - Z), (0, 0),
                               (0, 0)))
     freer = free.reshape(b, Zs, Yp, Xp)
-    dt_arr = jnp.asarray(dcoef, jnp.float32).reshape(1)
+    dt_arr = jnp.stack([jnp.asarray(dcoef, jnp.float32),
+                        jnp.asarray(strength, jnp.float32)])
 
     n_sacc = (3 if renorm else 1) if with_scalar else 0
-    C_out = 9 + (n_sacc + (0 if is_bwd else 2) if with_scalar else 0)
+    if fuse_ep:
+        C_out = 12 if not is_bwd else 10
+    else:
+        C_out = 9 + (n_sacc + (0 if is_bwd else 2) if with_scalar else 0)
     out = pl.pallas_call(
         functools.partial(_sweep_kernel, W=W, S=S, Z=Z, Y=Yp, X=Xp,
                           Yt=Y, Xt=X, ours=ours, is_bwd=is_bwd,
                           with_scalar=with_scalar, renorm=renorm,
-                          zclamped=zclamped, vals_bf16=vals_bf16),
+                          zclamped=zclamped, vals_bf16=vals_bf16,
+                          fuse_ep=fuse_ep),
         grid=(b, Zs // S),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -436,6 +523,13 @@ def _sweep_impl(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
         interpret=_interpret(),
     )(dt_arr, freer, *srcs)
     out = out[..., :Z, :Y, :X]
+    if fuse_ep:
+        res = {"u_w": out[:, 0:3], "u_mn": out[:, 3:6],
+               "u_mx": out[:, 6:9], "s_val": out[:, 9:10]}
+        if not is_bwd:
+            res["s_mn"] = out[:, 10:11]
+            res["s_mx"] = out[:, 11:12]
+        return res
     res = {"u_w": out[:, 0:3], "u_mn": out[:, 3:6], "u_mx": out[:, 6:9]}
     if with_scalar:
         if renorm:
@@ -587,3 +681,16 @@ def mac_vel_sweep(u, fwd, free, dcoef, window, ours, vals_bf16=None):
     out = _sweep(u, None, None, fwd, None, free, dcoef, window, ours,
                  False, False, vals_bf16)
     return out["u_w"], out["u_mn"], out["u_mx"]
+
+
+def advect_sweep_fused_ep(u, s, m, fwd_u, fwd_s, free, dcoef, strength,
+                          window, ours, renorm):
+    """Fused-EPILOGUE sweep (primal only — no registered VJP; callers
+    needing gradients differentiate the unfused composition instead, see
+    advect_fast._fused_step's custom_vjp). fwd_u=None => forward sweep:
+    returns masked {u_w, s_val, u_mn/mx, s_mn/mx}. Else backward sweep:
+    returns MacCormack-corrected {u_w (=dst_u, unclamped), s_val (=dst_s,
+    unclamped), u_mn/mx}."""
+    return _sweep_impl(u, s, m, fwd_u, fwd_s, free, dcoef, window, ours,
+                       True, renorm, False, fuse_ep=True,
+                       strength=strength)

@@ -64,8 +64,14 @@ run_chunk() {
     [ "$left" -le 60 ] && return 0
     wall_args=(-max_wall_s "$left")
   fi
+  # batch_size 6 (was 8 for epochs 0-9): the 16-step full-grad remat
+  # unroll of the [10,8,16] curriculum phase compiles to 15.90 GB at
+  # batch 8 on the 15.75 GB chip (the 4/8 phases fit; round 4 never
+  # reached epoch 10 so this was the first compile of the 16-horizon
+  # group). Batch 6 buys ~25% activation headroom; Adam's per-sample
+  # scaling makes the lr transferable.
   python -m fluidnet_tpu.cli.train \
-    -dataset gen3d_v5 -model_filename m3d_v5 -batch_size 8 \
+    -dataset gen3d_v5 -model_filename m3d_v5 -batch_size 6 \
     -max_epochs "$MAX_EPOCHS" -seed 17 -profile false \
     -max_host_rss_gb "$MAX_RSS_GB" "${wall_args[@]}" \
     -load_model "$resume" -resume_training "$resume" \

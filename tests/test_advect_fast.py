@@ -283,6 +283,48 @@ def test_combined_sweep_matches_separate(method, sof):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("method,sof", [
+    ("maccormackOurs", False), ("maccormackOurs", True),
+    ("eulerOurs", False), ("euler", True)])
+def test_fused_epilogue_matches_unfused(method, sof):
+    """FLUIDNET_FUSED_EPILOGUE=1 (in-kernel fluid/border masks, renorm
+    combine, MacCormack correction) must match the unfused composition
+    exactly, and its custom-VJP gradients (computed via the unfused
+    path) must match the unfused gradients."""
+    from fluidnet_tpu.ops.advect_fast import advect_vel_scalar_fast
+
+    rng = np.random.default_rng(23)
+    flags, u, s = small_case(rng, True, vel_scale=0.9, p_obstacle=0.15)
+    dt, strength, W = 0.3, 0.6, 1
+
+    def run(fused):
+        return advect_vel_scalar_fast(dt, s, u, flags, method, sof,
+                                      strength, W, fused_epilogue=fused)
+
+    s0, u0 = run(False)
+    s1, u1 = run(True)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(fused):
+        def f(s_, u_):
+            sn, un = advect_vel_scalar_fast(
+                dt, s_, u_, flags, method, sof, strength, W,
+                fused_epilogue=fused)
+            return jnp.sum(sn * sn) + jnp.sum(un * jnp.cos(un))
+        return jax.grad(f, argnums=(0, 1))(jnp.asarray(s),
+                                           jnp.asarray(u))
+
+    gs0, gu0 = loss(False)
+    gs1, gu1 = loss(True)
+    np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gu1), np.asarray(gu0),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_bf16_sweep_drift():
     """Production bf16 tap-arithmetic path (FLUIDNET_SWEEP_BF16): the
     per-step deviation from the f32 sweep must stay within the bf16

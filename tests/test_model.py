@@ -67,6 +67,23 @@ def test_trunk_nhwc_matches_generic(model_type, monkeypatch):
                                atol=2e-4)
 
 
+def test_trunk_zy_fold_matches_z_fold(monkeypatch):
+    """FLUIDNET_TRUNK_FOLD=zy (ky+kz folded into MXU output lanes) is a
+    pure summation-order change vs the default z-fold."""
+    import fluidnet_tpu.models.fluidnet as fnet
+    rng = np.random.default_rng(32)
+    mconf = ModelConfig(is_3d=True, conv_compute_dtype="float32")
+    params = init_model(jax.random.PRNGKey(0), mconf)
+    p, u, flags = _inputs(rng, True)
+    p_z, u_z = apply_model(params, mconf, p, u, flags)
+    monkeypatch.setenv("FLUIDNET_TRUNK_FOLD", "zy")
+    p_zy, u_zy = apply_model(params, mconf, p, u, flags)
+    np.testing.assert_allclose(np.asarray(p_zy), np.asarray(p_z),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(u_zy), np.asarray(u_z),
+                               atol=2e-4)
+
+
 @pytest.mark.parametrize("agg", ["concat", "add"])
 def test_model_mres_banks(agg):
     rng = np.random.default_rng(31)
