@@ -396,9 +396,11 @@ def fused_epilogue_enabled() -> bool:
     (fluid/border masks, renorm combine, MacCormack correction)
     in-kernel (see mac_sweep.advect_sweep_fused_ep). Gradients always
     fall back to the unfused composition via _fused_step's custom_vjp,
-    so this is a pure inference-throughput knob."""
+    so this is a pure inference-throughput knob. Default ON (measured
+    208.9 -> 218.1 steps/s at 128^3); FLUIDNET_FUSED_EPILOGUE=0
+    restores the unfused composition."""
     import os as _os
-    return _os.environ.get("FLUIDNET_FUSED_EPILOGUE", "0") == "1"
+    return _os.environ.get("FLUIDNET_FUSED_EPILOGUE", "1") == "1"
 
 
 def _fused_impl(dt, s, u, flags, free, method, sample_outside_fluid,

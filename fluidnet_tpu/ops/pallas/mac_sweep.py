@@ -388,8 +388,16 @@ def _sweep_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
     for s in range(S):
         k_abs = ks * S + s
         j0 = s + W
-        border_b = ((ii == 0) | (ii == Xt - 1) | (jj == 0) |
-                    (jj == Yt - 1) | (k_abs == 0) | (k_abs == Z - 1))
+        # Mosaic on this target rejects i1 ops mixing scalar and vector
+        # bools ("unsupported target bitwidth for truncation"), so the
+        # border mask keeps the in-plane part as a vector bool and the
+        # z part as a scalar f32 factor.
+        border_v = ((ii == 0) | (ii == Xt - 1) | (jj == 0) |
+                    (jj == Yt - 1))
+        zin = jnp.where((k_abs == 0) | (k_abs == Z - 1), 0.0, 1.0)
+
+        def _border0(v):
+            return jnp.where(border_v, 0.0, v) * zin
         fl_b = _scr(I_M, 0, j0) > 0.5
         if renorm:
             den = sacc[s][2]
@@ -405,12 +413,12 @@ def _sweep_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
                 v = vacc[s][c]
                 if ours:
                     v = jnp.where(fl_b, v, _scr(I_U, c, j0))
-                out_ref[0, c, s] = jnp.where(border_b, 0.0, v)
+                out_ref[0, c, s] = _border0(v)
                 out_ref[0, 3 + c, s] = vmn[s][c].astype(f32)
                 out_ref[0, 6 + c, s] = vmx[s][c].astype(f32)
             if ours:
                 val = jnp.where(fl_b, val, s_c)
-            out_ref[0, 9, s] = jnp.where(border_b, 0.0, val)
+            out_ref[0, 9, s] = _border0(val)
             out_ref[0, 10, s] = smn[s].astype(f32)
             out_ref[0, 11, s] = smx[s].astype(f32)
         else:
@@ -418,20 +426,24 @@ def _sweep_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
             # Per-component fluid skips (tfluids.cc:660-699): skip where
             # the cell or its -axis neighbor is non-fluid; at the low
             # edge only the cell itself is tested (neighbor fills True).
+            # Selects stay in the f32 domain (one compare at the end):
+            # bool-valued wheres with scalar/literal arms hit the same
+            # Mosaic i1-truncation limit as the border mask above.
             m_c = _scr(I_M, 0, j0)       # roll the f32 mask, not the
-            fl_xm = jnp.where(ii == 0, True,       # bool (32-bit-only
-                              pltpu.roll(m_c, 1, 1) > 0.5)  # rotates)
-            fl_ym = jnp.where(jj == 0, True,
-                              pltpu.roll(m_c, 1, 0) > 0.5)
-            fl_zm = jnp.where(k_abs == 0, True,
-                              _scr(I_M, 0, j0 - 1) > 0.5)
+            fl_xm = jnp.where(ii == 0, 1.0,        # bool (32-bit-only
+                              pltpu.roll(m_c, 1, 1)) > 0.5   # rotates)
+            fl_ym = jnp.where(jj == 0, 1.0,
+                              pltpu.roll(m_c, 1, 0)) > 0.5
+            fl_zm = jnp.maximum(
+                _scr(I_M, 0, j0 - 1),
+                jnp.where(k_abs == 0, 1.0, 0.0)) > 0.5
             skips = (fl_xm, fl_ym, fl_zm)
             for c in range(3):
                 bwd_c = vacc[s][c]
                 fwd_c = _scr(I_FU, c, j0)
                 if ours:
                     bwd_c = jnp.where(fl_b, bwd_c, fwd_c)
-                bwd_c = jnp.where(border_b, 0.0, bwd_c)
+                bwd_c = _border0(bwd_c)
                 corr = fwd_c + strength * 0.5 * (_scr(I_U, c, j0) - bwd_c)
                 out_ref[0, c, s] = jnp.where(fl_b & skips[c], corr, fwd_c)
                 out_ref[0, 3 + c, s] = vmn[s][c].astype(f32)
@@ -439,7 +451,7 @@ def _sweep_kernel(dt_ref, free_ref, *refs, W, S, Z, Y, X, Yt, Xt, ours,
             fwd_s_c = _scr(I_FS, 0, j0)
             if ours:
                 val = jnp.where(fl_b, val, fwd_s_c)
-            bwd_s = jnp.where(border_b, 0.0, val)
+            bwd_s = _border0(val)
             dst_s = fwd_s_c + jnp.where(
                 fl_b, strength * 0.5 * (_scr(I_S0, 0, j0) - bwd_s), 0.0)
             out_ref[0, 9, s] = dst_s

@@ -41,6 +41,12 @@ cd "$(dirname "$0")/.."
 
 MAX_EPOCHS=${MAX_EPOCHS:-36}
 MAX_RSS_GB=${MAX_RSS_GB:-72}
+# Curriculum/schedule env overrides (defaults = the round-4 recipe).
+# Round 5 compresses the phase starts so the 8/16 phase is reached
+# inside a bounded wall budget (the round-4 run was lost to a host
+# reset at epoch 10, just before that phase started).
+HORIZON_SCHEDULE=${HORIZON_SCHEDULE:-"[[0,2,4],[4,4,8],[10,8,16]]"}
+LR_EPOCH_MULTS=${LR_EPOCH_MULTS:-"[[16,0.5],[24,0.5],[30,0.5]]"}
 # Optional wall-clock budget for the WHOLE chunked run (seconds): each
 # chunk gets the remaining budget as conf.max_wall_s (clean epoch-boundary
 # exit; resumable), and the chunk loop stops once the deadline passes.
@@ -77,8 +83,8 @@ run_chunk() {
     -load_model "$resume" -resume_training "$resume" \
     -rollout_select_steps 64 \
     -ema_decay 0.999 \
-    -horizon_schedule "[[0,2,4],[4,4,8],[10,8,16]]" \
-    -lr_epoch_mults "[[16,0.5],[24,0.5],[30,0.5]]" \
+    -horizon_schedule "$HORIZON_SCHEDULE" \
+    -lr_epoch_mults "$LR_EPOCH_MULTS" \
     -new_model.is_3d true \
     -new_model.advection_method maccormackOurs \
     -new_model.adaptive_window false -new_model.advection_window 1 \
