@@ -132,8 +132,8 @@ def main():
     state = make_state()
     bcs = create_plume_bcs(state, [1.0], u_scale=0.6, rad=0.15)
 
-    def model_fn(pr, p, u, f):
-        return apply_model(pr, mconf, p, u, f)
+    def model_fn(pr, p, u, f, **kw):
+        return apply_model(pr, mconf, p, u, f, **kw)
 
     # NOTE: params/bcs are jit ARGUMENTS — closing over large device arrays
     # embeds them as XLA constants, which wrecks compile AND run time.

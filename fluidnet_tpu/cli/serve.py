@@ -180,8 +180,8 @@ class DemoSim:
         # training-loop override path), so the dt / buoyancy / vorticity
         # keyboard toggles are instant; only solver / advection-method
         # switches recompile.
-        def model_fn(pr, p, u, f):
-            return apply_model(pr, mc, p, u, f)
+        def model_fn(pr, p, u, f, **kw):
+            return apply_model(pr, mc, p, u, f, **kw)
         return jax.jit(lambda s, prm, b, dt, bs, va: simulate(
             s, mc, model_fn if mc.sim_method == "convnet" else None,
             prm, b, dt=dt, buoyancy_scale=bs, vorticity_amp=va))

@@ -75,8 +75,8 @@ def run(args):
 
     state, bcs = build_scene(res, args.voxel_model or None)
 
-    def model_fn(pr, p, u, f):
-        return apply_model(pr, mconf, p, u, f)
+    def model_fn(pr, p, u, f, **kw):
+        return apply_model(pr, mconf, p, u, f, **kw)
 
     # params/bcs as jit args (large closed-over arrays become XLA
     # constants and destroy compile/run time).

@@ -91,8 +91,8 @@ def main(argv=None):
             if params is None:
                 print("skipping convnet (no --model)")
                 continue
-            def model_fn(pr, p, u, f):
-                return apply_model(pr, mc, p, u, f)
+            def model_fn(pr, p, u, f, **kw):
+                return apply_model(pr, mc, p, u, f, **kw)
         arr = calc_stats([batch], mc, model_fn, params,
                          n_steps=args.n_steps)
         stats[method] = arr

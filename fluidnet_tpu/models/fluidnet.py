@@ -508,19 +508,26 @@ def _input_scale(mconf, p_div, u_div, div):
 
 
 def apply_model(params, mconf: ModelConfig, p_div, u_div, flags,
-                training: bool = False):
+                training: bool = False, precomputed_div=None):
     """Forward pass; returns (p, U) like parseModelOutput (model.lua:445-450).
 
     All inputs (b, c, z, y, x); 2-D convs run on squeezed (b, c, y, x)
-    (model.lua:152-155)."""
+    (model.lua:152-155).
+
+    `precomputed_div`: the fused projection prologue (ops.prologue)
+    computes setWallBcs + divergence in-kernel; when provided, `u_div`
+    is assumed already wall-bc'ed and both input ops are skipped."""
     osize, ksize, psize, usize = layer_spec(mconf)
     nd = 3 if mconf.is_3d else 2
     ic = mconf.input_channels
     cdt = jnp.bfloat16 if mconf.conv_compute_dtype == "bfloat16" \
         else jnp.float32
 
-    u_div = set_wall_bcs(u_div, flags)
-    div = velocity_divergence(u_div, flags) if ic.div else None
+    if precomputed_div is None:
+        u_div = set_wall_bcs(u_div, flags)
+        div = velocity_divergence(u_div, flags) if ic.div else None
+    else:
+        div = precomputed_div if ic.div else None
 
     if mconf.normalize_input:
         s = _input_scale(mconf, p_div, u_div, div)
@@ -608,6 +615,6 @@ def apply_model(params, mconf: ModelConfig, p_div, u_div, flags,
 
 def make_model_fn(mconf: ModelConfig):
     """Adapter matching the simulate() model_fn signature."""
-    def model_fn(params, p, u, flags):
-        return apply_model(params, mconf, p, u, flags)
+    def model_fn(params, p, u, flags, **kw):
+        return apply_model(params, mconf, p, u, flags, **kw)
     return model_fn

@@ -216,23 +216,45 @@ def _vc_pallas_impl(u, flags, amp):
 _FB_HALO = 4       # vc's 3 + one more slice below for buoyancy's rho(k-1)
 
 
-def _fb_kernel(sc_ref, u_hbm, fl_hbm, rho_hbm, out_ref, uscr, fscr, rscr,
-               usem, fsem, rsem, *, S, Z, Y, X, Yt, Xt):
+def _fb_kernel(sc_ref, u_hbm, fl_hbm, rho_hbm, *refs, S, Z, Y, X, Yt, Xt,
+               epi=False, has_ubc=False):
     """Fused forces block: u' = buoyancy+gravity(u), then the
     vorticity-confinement chain of _vc_kernel on u'.
 
     sc_ref (SMEM, 7): [bx, by, bz, gx, gy, gz, amp] where b* is
     add_buoyancy's per-face strength (-buoy_g * dt / dx), g* is
-    add_gravity's force (grav_g * dt / dx)."""
+    add_gravity's force (grav_g * dt / dx).
+
+    epi=True is the fused *projection prologue* (ops.prologue): the
+    kernel additionally applies the frozen slab boundary conditions
+    (sim.simulate.apply_boundaries) to u before the forces (has_ubc) and
+    again after, then applies setWallBcs (ops.boundary semantics incl.
+    Stick) and emits the Manta-RHS velocity divergence as a 4th output
+    channel — everything the convnet projection consumes, one HBM pass."""
     b = pl.program_id(0)
     ks = pl.program_id(1)
     n = S + 2 * _FB_HALO
+
+    if has_ubc:
+        ubc_hbm, uinv_hbm = refs[0], refs[1]
+        refs = refs[2:]
+    out_ref, uscr, fscr, rscr = refs[:4]
+    refs = refs[4:]
+    if has_ubc:
+        bscr, iscr = refs[0], refs[1]
+        refs = refs[2:]
+    usem, fsem, rsem = refs[:3]
 
     start = jnp.clip(ks * S - _FB_HALO, 0, jnp.maximum(Z - n, 0))
     shift = ks * S - _FB_HALO - start
     dmas = [pltpu.make_async_copy(h.at[b, :, pl.ds(start, n)], s, sem)
             for h, s, sem in ((u_hbm, uscr, usem), (fl_hbm, fscr, fsem),
                               (rho_hbm, rscr, rsem))]
+    if has_ubc:
+        dmas.append(pltpu.make_async_copy(
+            ubc_hbm.at[b, :, pl.ds(start, n)], bscr, refs[3]))
+        dmas.append(pltpu.make_async_copy(
+            uinv_hbm.at[b, :, pl.ds(start, n)], iscr, refs[4]))
     for dma in dmas:
         dma.start()
 
@@ -266,6 +288,35 @@ def _fb_kernel(sc_ref, u_hbm, fl_hbm, rho_hbm, out_ref, uscr, fscr, rscr,
 
     def iym(a):
         return jnp.where(jj == 0, 0, pltpu.roll(a, 1, 0))
+
+    def ixp(a):
+        return jnp.where(ii == Xt - 1, 0, pltpu.roll(a, (-1) % X, 1))
+
+    def iyp(a):
+        return jnp.where(jj == Yt - 1, 0, pltpu.roll(a, (-1) % Y, 0))
+
+    # Slab boundary conditions (apply_boundaries): bc/inv are stored at
+    # an 8-row y-extent; expand to full planes (pad rows are neutral:
+    # bc 0 / inv 1 from the host-side padding).
+    if has_ubc:
+        Yb = bscr.shape[2]
+        _zrest = jnp.zeros((Y - Yb, X), jnp.float32)
+        _orest = jnp.ones((Y - Yb, X), jnp.float32)
+
+        def bc_apply(c, j, v):
+            """Slab update at LOGICAL slice j (same shift mapping as
+            rd; the storage loop below passes pre-shifted indices)."""
+            js = jnp.clip(j + shift, 0, n - 1)
+            bcf = jnp.concatenate([bscr[c, js], _zrest], axis=0)
+            invf = jnp.concatenate([iscr[c, js], _orest], axis=0)
+            return v * invf + bcf
+
+        # BC #1: pre-forces (simulate step 3) — mutate the scratch so
+        # the whole chain below reads bc'ed velocity. Storage index =
+        # logical index - shift.
+        for j in range(n):
+            for c in range(3):
+                uscr[c, j] = bc_apply(c, j - shift, uscr[c, j])
 
     # Stage 0: u' = buoyancy + gravity applied to every slice the vc
     # chain reads (logical 1..n-1; slice 0 would need rho(-1)).
@@ -361,16 +412,16 @@ def _fb_kernel(sc_ref, u_hbm, fl_hbm, rho_hbm, out_ref, uscr, fscr, rscr,
 
     forces = {j: force(j) for j in range(3, n - 3)}
 
-    for s in range(S):
-        j = s + _FB_HALO
-        c_abs = ks * S + s
+    def applied(j):
+        """AddForceField face-apply at slice j -> force-applied u'."""
+        c_abs = ks * S - _FB_HALO + j
         fli = rd(fscr, 0, j).astype(jnp.int32)
         fl = (fli & 1) > 0
         em = (fli & 4) > 0
         interior = jnp.logical_and(c_abs >= 1, c_abs <= Z - 2)
         cur = (fl | em) & inplane_int & interior
         fx, fy, fz = forces[j]
-        fxm1, fym1, fzm1 = forces[j - 1]
+        fzm1 = forces[j - 1][2]
 
         fli_xm = ixm(fli)
         fli_ym = iym(fli)
@@ -387,9 +438,75 @@ def _fb_kernel(sc_ref, u_hbm, fl_hbm, rho_hbm, out_ref, uscr, fscr, rscr,
         my = cur & (flm_y | (fl & emm_y))
         mz = cur & (flm_z | (fl & emm_z))
         u0, u1, u2 = ups[j]
-        out_ref[0, 0, s] = jnp.where(mx, u0 + 0.5 * (xm(fx) + fx), u0)
-        out_ref[0, 1, s] = jnp.where(my, u1 + 0.5 * (ym(fy) + fy), u1)
-        out_ref[0, 2, s] = jnp.where(mz, u2 + 0.5 * (fzm1 + fz), u2)
+        w0 = jnp.where(mx, u0 + 0.5 * (xm(fx) + fx), u0)
+        w1 = jnp.where(my, u1 + 0.5 * (ym(fy) + fy), u1)
+        w2 = jnp.where(mz, u2 + 0.5 * (fzm1 + fz), u2)
+        return w0, w1, w2
+
+    if not epi:
+        for s in range(S):
+            w0, w1, w2 = applied(s + _FB_HALO)
+            out_ref[0, 0, s] = w0
+            out_ref[0, 1, s] = w1
+            out_ref[0, 2, s] = w2
+        return
+
+    # ---- fused projection-prologue epilogue ----
+    # For each output slice (and one extra +z slice for the divergence):
+    # BC #2 (post-forces apply_boundaries, simulate step 7) then
+    # setWallBcs (ops.boundary.set_wall_bcs semantics incl. Stick).
+    def wallbc(j):
+        c_abs = ks * S - _FB_HALO + j
+        u0, u1, u2 = applied(j)
+        if has_ubc:
+            u0 = bc_apply(0, j, u0)
+            u1 = bc_apply(1, j, u1)
+            u2 = bc_apply(2, j, u2)
+        fli = rd(fscr, 0, j).astype(jnp.int32)
+        flim1 = rd(fscr, 0, j - 1).astype(jnp.int32)
+        flip1 = rd(fscr, 0, j + 1).astype(jnp.int32)
+        fl = (fli & 1) > 0
+        ob = (fli & 2) > 0
+        cur = fl | ob
+        fli_xm = ixm(fli)
+        fli_ym = iym(fli)
+        fli_xp = ixp(fli)
+        fli_yp = iyp(fli)
+        zok = c_abs > 0
+        zhi = c_abs < Z - 1
+        zero_x = cur & (((fli_xm & 2) > 0) | (ob & ((fli_xm & 1) > 0)))
+        zero_y = cur & (((fli_ym & 2) > 0) | (ob & ((fli_ym & 1) > 0)))
+        zero_z = cur & (jnp.logical_and(zok, (flim1 & 2) > 0) |
+                        (ob & jnp.logical_and(zok, (flim1 & 1) > 0)))
+        st_xpm = ((fli_xm & 128) > 0) | ((fli_xp & 128) > 0)
+        st_ypm = ((fli_ym & 128) > 0) | ((fli_yp & 128) > 0)
+        st_zpm = (jnp.logical_and(zok, (flim1 & 128) > 0) |
+                  jnp.logical_and(zhi, (flip1 & 128) > 0))
+        u0 = jnp.where(zero_x, 0.0, u0)
+        u0 = jnp.where(fl & st_ypm, 0.0, u0)
+        u0 = jnp.where(fl & st_zpm, 0.0, u0)
+        u1 = jnp.where(zero_y, 0.0, u1)
+        u1 = jnp.where(fl & st_xpm, 0.0, u1)
+        u1 = jnp.where(fl & st_zpm, 0.0, u1)
+        u2 = jnp.where(zero_z, 0.0, u2)
+        u2 = jnp.where(fl & (st_xpm | st_ypm), 0.0, u2)
+        return u0, u1, u2
+
+    wbc = {j: wallbc(j) for j in range(_FB_HALO, _FB_HALO + S + 1)}
+    for s in range(S):
+        j = s + _FB_HALO
+        c_abs = ks * S + s
+        u0, u1, u2 = wbc[j]
+        out_ref[0, 0, s] = u0
+        out_ref[0, 1, s] = u1
+        out_ref[0, 2, s] = u2
+        # Manta-RHS divergence (ops.divergence.velocity_divergence):
+        # div = (u - xp(u)) + (v - yp(v)) + (w - zp(w)), fluid interior.
+        fli = rd(fscr, 0, j).astype(jnp.int32)
+        interior = jnp.logical_and(c_abs >= 1, c_abs <= Z - 2)
+        keep = ((fli & 1) > 0) & inplane_int & interior
+        div = (u0 - xp(u0)) + (u1 - yp(u1)) + (u2 - wbc[j + 1][2])
+        out_ref[0, 3, s] = jnp.where(keep, div, 0.0)
 
 
 @jax.jit
@@ -436,6 +553,69 @@ def _fb_pallas_impl(u, flags, density, scal7):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(scal7, u, flags.astype(jnp.int32), density)
+    return out[..., :Z, :Y, :X]
+
+
+@functools.partial(jax.jit, static_argnames=("has_ubc",))
+def _pro_pallas_impl(u, flags, density, scal7, ubc, uinv, has_ubc):
+    """Fused projection prologue: returns (b, 4, Z, Y, X) — channels
+    0-2 the slab-BC'ed, force-applied, wall-BC'ed velocity; channel 3
+    its Manta-RHS divergence. ubc/uinv: (b, 3, Z, YB<=8, X) slab masks
+    or any arrays when has_ubc=False (ignored)."""
+    b, _, Z, Y, X = u.shape
+    Xp, Yp = _round_up(X, 128), _round_up(Y, 8)
+    if (Xp, Yp) != (X, Y):
+        pads = ((0, 0),) * 3 + ((0, Yp - Y), (0, Xp - X))
+        u = jnp.pad(u, pads)
+        density = jnp.pad(density, pads)
+        flags = jnp.pad(flags, pads, constant_values=2)
+    S = min(slices_per_program(), Z)
+    Zs = _round_up(Z, S)
+    n = S + 2 * _FB_HALO
+    Zsrc = max(Zs, n)
+    if Zsrc != Z:
+        zpad = ((0, 0), (0, 0), (0, Zsrc - Z), (0, 0), (0, 0))
+        u = jnp.pad(u, zpad)
+        density = jnp.pad(density, zpad)
+        flags = jnp.pad(flags, zpad, constant_values=2)
+
+    inputs = [scal7, u, flags.astype(jnp.int32), density]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
+        [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    scratch = [
+        pltpu.VMEM((3, n, Yp, Xp), jnp.float32),
+        pltpu.VMEM((1, n, Yp, Xp), jnp.int32),
+        pltpu.VMEM((1, n, Yp, Xp), jnp.float32),
+    ]
+    sems = [pltpu.SemaphoreType.DMA] * 3
+    if has_ubc:
+        YB = ubc.shape[3]
+        assert YB <= 8, "slab BC masks wider than 8 rows can't fuse"
+        # Neutral padding: bc 0 / inv 1 in the padded rows/slices.
+        bpad = ((0, 0), (0, 0), (0, Zsrc - ubc.shape[2]), (0, 8 - YB),
+                (0, Xp - X))
+        ubc = jnp.pad(jnp.asarray(ubc, jnp.float32), bpad)
+        uinv = jnp.pad(jnp.asarray(uinv, jnp.float32), bpad,
+                       constant_values=1.0)
+        inputs += [ubc, uinv]
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        scratch += [pltpu.VMEM((3, n, 8, Xp), jnp.float32)] * 2
+        sems += [pltpu.SemaphoreType.DMA] * 2
+
+    out = pl.pallas_call(
+        functools.partial(_fb_kernel, S=S, Z=Z, Y=Yp, X=Xp, Yt=Y, Xt=X,
+                          epi=True, has_ubc=has_ubc),
+        grid=(b, Zs // S),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 4, S, Yp, Xp),
+                               lambda bb, k: (bb, 0, k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 4, Zs, Yp, Xp), jnp.float32),
+        scratch_shapes=scratch + sems,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*inputs)
     return out[..., :Z, :Y, :X]
 
 

@@ -165,15 +165,8 @@ def simulate(state: FluidState, mconf: ModelConfig,
     else:
         u, density = _advect_all(mconf.advection_window)((u, density))
 
-    # 3. External boundary conditions (simulate.lua:201-202).
-    state = apply_boundaries(
-        state.replace(u=u, p=p, density=density), bcs)
-    u, p, density = state.u, state.p, state.density
-
-    # 4.-6. Forces (simulate.lua:216-239): buoyancy (-(dx/4)*
-    # buoyancyScale, first density channel), gravity, vorticity
-    # confinement. 3-D runs all three as ONE fused Pallas pass
-    # (forces_block); zero scalars are exact no-ops in the same graph.
+    # Forces configuration (resolved before the BC step so the fused
+    # projection prologue can be chosen; simulate.lua:216-239).
     g_vec = gravity if gravity is not None else _get_gravity(mconf, u.dtype)
     b_scale = buoyancy_scale if buoyancy_scale is not None \
         else mconf.buoyancy_scale
@@ -187,7 +180,48 @@ def simulate(state: FluidState, mconf: ModelConfig,
     has_vc = vorticity_amp is not None or \
         mconf.vorticity_confinement_amp > 0
     is_3d = flags.shape[2] > 1
-    if is_3d and density is not None and (has_buoy or has_grav or has_vc):
+    batched_scales = (jnp.ndim(b_scale) > 1 or jnp.ndim(g_scale) > 1 or
+                      jnp.ndim(g_vec) > 1 or jnp.ndim(v_amp) > 0)
+
+    # Fused projection prologue (ops.prologue): for the 3-D convnet
+    # path, the u-slab BCs + forces block + setWallBcs + divergence run
+    # as ONE Pallas pass; p/density slabs stay in XLA (cheap 4-row
+    # updates). Value-exact vs the unfused composition (tested);
+    # gradients recompute the unfused chain via custom_vjp.
+    from fluidnet_tpu.ops.prologue import (fused_prologue_enabled,
+                                           projection_prologue)
+    use_pro = (is_3d and not output_div and mconf.sim_method == "convnet"
+               and density is not None and not batched_scales
+               and fused_prologue_enabled()
+               and (bcs is None or bcs.u_bc is None
+                    or bcs.u_bc.shape[3] <= 8))
+
+    # 3. External boundary conditions (simulate.lua:201-202).
+    bcs_nou = bcs
+    if use_pro and bcs is not None:
+        bcs_nou = dataclasses.replace(bcs, u_bc=None, u_bc_inv_mask=None)
+    state = apply_boundaries(
+        state.replace(u=u, p=p, density=density), bcs_nou)
+    u, p, density = state.u, state.p, state.density
+
+    # 4.-6. Forces: buoyancy (-(dx/4)*buoyancyScale, first density
+    # channel), gravity, vorticity confinement. 3-D runs all three as
+    # ONE fused Pallas pass (forces_block); zero scalars are exact
+    # no-ops in the same graph.
+    div_pre = None
+    if use_pro:
+        zero3 = jnp.zeros((3,), u.dtype)
+        buoy_g = _scale_gravity(g_vec, -(dx / 4.0) * b_scale) \
+            if has_buoy else zero3
+        grav_g = _scale_gravity(g_vec, -(dx / 4.0) * g_scale) \
+            if has_grav else zero3
+        amp = dx * jnp.asarray(v_amp) if has_vc else jnp.zeros((), u.dtype)
+        u, div_pre = projection_prologue(
+            u, flags, density[:, 0:1], buoy_g, grav_g, amp, dt,
+            bcs.u_bc if bcs is not None else None,
+            bcs.u_bc_inv_mask if bcs is not None else None)
+    elif is_3d and density is not None and (has_buoy or has_grav or
+                                            has_vc):
         zero3 = jnp.zeros((3,), u.dtype)
         buoy_g = _scale_gravity(g_vec, -(dx / 4.0) * b_scale) \
             if has_buoy else zero3
@@ -213,12 +247,24 @@ def simulate(state: FluidState, mconf: ModelConfig,
     # 7. Projection (simulate.lua:248-304).
     if mconf.sim_method != "convnet":
         u = set_wall_bcs(u, flags)
-    state = apply_boundaries(state.replace(u=u, p=p, density=density), bcs)
+    # use_pro: the kernel already applied the u slab + setWallBcs; the
+    # p/density slabs were applied at step 3 (idempotent masks).
+    state = apply_boundaries(state.replace(u=u, p=p, density=density),
+                             bcs_nou if use_pro else bcs)
     u, p, density = state.u, state.p, state.density
 
     if mconf.sim_method == "convnet":
         assert model_fn is not None, "convnet sim method needs a model"
-        p, u = model_fn(params, p, u, flags)
+        if div_pre is not None:
+            try:
+                # u is already wall-bc'ed and div precomputed in-kernel;
+                # models supporting the fused prologue skip both.
+                p, u = model_fn(params, p, u, flags,
+                                precomputed_div=div_pre)
+            except TypeError:
+                p, u = model_fn(params, p, u, flags)
+        else:
+            p, u = model_fn(params, p, u, flags)
         if mconf.polish_iters > 0:
             # Hybrid projection: N Jacobi correction sweeps on the
             # ConvNet's residual divergence (see ModelConfig.polish_iters).

@@ -37,8 +37,8 @@ for name, kw in runs:
     mc = mconf.replace(**kw)
     model_fn = None
     if kw["sim_method"] == "convnet":
-        def model_fn(pr, p, u, f, mc=mc):
-            return apply_model(pr, mc, p, u, f)
+        def model_fn(pr, p, u, f, mc=mc, **kw):
+            return apply_model(pr, mc, p, u, f, **kw)
     arr = calc_stats([batch], mc, model_fn, params, n_steps=N_STEPS)
     print(f"{name:14s} ||div|| step1 {arr[:, 0].mean():.4e}  "
           f"mid {arr[:, N_STEPS // 2].mean():.4e}  "

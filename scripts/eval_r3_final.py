@@ -64,8 +64,8 @@ def main():
         mc = mconf0.replace(**kw)
         model_fn = None
         if kw["sim_method"] == "convnet":
-            def model_fn(pr, p, u, f, mc=mc):
-                return apply_model(pr, mc, p, u, f)
+            def model_fn(pr, p, u, f, mc=mc, **kw):
+                return apply_model(pr, mc, p, u, f, **kw)
         arr = calc_stats([batch], mc, model_fn, params, n_steps=n_steps,
                          out_path=os.path.join(
                              FIGD, f"norm_div_{TAG}_{name}.tsv"))
@@ -115,8 +115,8 @@ def main():
                             adaptive_window=False, advection_window=1)
         model_fn = None
         if kw["sim_method"] == "convnet":
-            def model_fn(pr, p, u, f, mc=mc):
-                return apply_model(pr, mc, p, u, f)
+            def model_fn(pr, p, u, f, mc=mc, **kw):
+                return apply_model(pr, mc, p, u, f, **kw)
         step = jax.jit(lambda s, mc=mc, mf=model_fn: simulate(
             s, mc, mf, params, bcs))
         s = state0

@@ -33,8 +33,8 @@ def main():
         density=jnp.zeros((B, 1, Z, Y, X), jnp.float32))
     bcs = create_plume_bcs(state, [1.0], u_scale=0.6, rad=0.15)
 
-    def model_fn(pr, p, u, f):
-        return apply_model(pr, mconf, p, u, f)
+    def model_fn(pr, p, u, f, **kw):
+        return apply_model(pr, mconf, p, u, f, **kw)
 
     N = 30
     roll = jax.jit(lambda s, prm, b: rollout(

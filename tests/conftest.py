@@ -22,6 +22,15 @@ os.environ.setdefault("FLUIDNET_SLICES_PER_PROGRAM", "1")
 # (tests/test_advect_fast.py::test_bf16_sweep_drift).
 os.environ.setdefault("FLUIDNET_SWEEP_BF16", "0")
 
+# The production fused-epilogue / fused-prologue kernels (default ON)
+# multiply interpret-mode lowering time like S above; the suite runs the
+# unfused compositions, and each fused path has dedicated value+grad
+# parity tests that enable it explicitly (test_advect_fast.py::
+# test_fused_epilogue_matches_unfused, tests/test_prologue.py — the
+# latter includes a whole simulate() step with the knob forced on).
+os.environ.setdefault("FLUIDNET_FUSED_EPILOGUE", "0")
+os.environ.setdefault("FLUIDNET_FUSED_PROLOGUE", "0")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
