@@ -226,5 +226,17 @@ if __name__ == "__main__":
                   f"({msg})", file=sys.stderr)
             time.sleep(60)
             os.execv(sys.executable,
-                     [sys.executable, os.path.abspath(__file__), "--retry"])
+                     [sys.executable, os.path.abspath(__file__), "--retry"]
+                     + (["--safe"] if "--safe" in sys.argv else []))
+        if not transient and "--safe" not in sys.argv:
+            # A failure in one of the default-ON fused fast paths (they
+            # are measured-better but newer than the rest of the stack)
+            # must not zero the recorded artifact: one retry in a fresh
+            # process with the proven unfused configuration.
+            print(f"bench: failure ({msg}); retrying with fused fast "
+                  f"paths disabled", file=sys.stderr)
+            os.environ["FLUIDNET_FUSED_EPILOGUE"] = "0"
+            os.environ["FLUIDNET_FUSED_PROLOGUE"] = "0"
+            os.execv(sys.executable,
+                     [sys.executable, os.path.abspath(__file__), "--safe"])
         raise
